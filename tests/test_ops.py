@@ -1,0 +1,181 @@
+"""Unit tests: ops layer vs pure-NumPy oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hmsr_tpu.ops import (
+    eigen_2x2, invert_2x2, solve_2x2, quad_mat_prod,
+    dogson_quadratic_kernel,
+    fft_lowpass_grey, decimate_to_grey,
+    gat,
+    gaussian_kernel1d, downsample, build_gaussian_pyramid,
+    local_stats_3x3, local_min_5x5, box_sum_valid,
+    sobel_gradients, halfpixel_gradients,
+)
+from oracles import numpy_ops as oracle
+
+RNG = np.random.RandomState(0)
+
+
+class TestLinalg2x2:
+    def test_eigen_random_psd(self):
+        g = RNG.randn(500, 2)
+        m00 = g[:, 0] ** 2
+        m11 = g[:, 1] ** 2
+        m01 = g[:, 0] * g[:, 1]
+        (l1, l2), (e10, e11), (e20, e21) = eigen_2x2(
+            jnp.asarray(m00), jnp.asarray(m01), jnp.asarray(m01), jnp.asarray(m11))
+        l1, l2 = np.asarray(l1), np.asarray(l2)
+        e1 = np.stack([np.asarray(e10), np.asarray(e11)], -1)
+        e2 = np.stack([np.asarray(e20), np.asarray(e21)], -1)
+        for i in range(500):
+            (ol1, ol2), oe1, oe2 = oracle.eig_2x2(m00[i], m01[i], m01[i], m11[i])
+            assert np.isclose(l1[i], ol1, atol=1e-5)
+            assert np.isclose(l2[i], ol2, atol=1e-5)
+            np.testing.assert_allclose(e1[i], oe1, atol=1e-5)
+            np.testing.assert_allclose(e2[i], oe2, atol=1e-5)
+
+    def test_eigen_identity_multiple(self):
+        (l1, l2), e1, e2 = eigen_2x2(jnp.float32(3.0), jnp.float32(0.0),
+                                     jnp.float32(0.0), jnp.float32(3.0))
+        assert float(l1) == 3.0 and float(l2) == 3.0
+        assert (float(e1[0]), float(e1[1])) == (1.0, 0.0)
+        assert (float(e2[0]), float(e2[1])) == (0.0, 1.0)
+
+    def test_eigen_vectors_are_eigenvectors(self):
+        g = RNG.randn(200, 3)
+        m00, m11 = g[:, 0] ** 2 + 0.1, g[:, 1] ** 2 + 0.1
+        m01 = 0.5 * g[:, 2]
+        (l1, l2), (e10, e11), (e20, e21) = eigen_2x2(*map(jnp.asarray, (m00, m01, m01, m11)))
+        # M e1 ≈ l1 e1
+        r0 = m00 * np.asarray(e10) + m01 * np.asarray(e11)
+        r1 = m01 * np.asarray(e10) + m11 * np.asarray(e11)
+        np.testing.assert_allclose(r0, np.asarray(l1) * np.asarray(e10), atol=1e-3)
+        np.testing.assert_allclose(r1, np.asarray(l1) * np.asarray(e11), atol=1e-3)
+
+    def test_invert(self):
+        rng = np.random.RandomState(7)
+        m = rng.randn(100, 2, 2) + 3 * np.eye(2)
+        m = m[np.abs(np.linalg.det(m)) > 0.5]
+        i00, i01, i10, i11 = invert_2x2(*[jnp.asarray(m[:, a, b])
+                                          for a, b in ((0, 0), (0, 1), (1, 0), (1, 1))])
+        inv = np.stack([np.stack([i00, i01], -1), np.stack([i10, i11], -1)], -2)
+        np.testing.assert_allclose(inv, np.linalg.inv(m), rtol=1e-4, atol=1e-4)
+
+    def test_invert_singular_falls_back_to_identity(self):
+        i00, i01, i10, i11 = invert_2x2(jnp.float32(0), jnp.float32(0),
+                                        jnp.float32(0), jnp.float32(0))
+        assert (float(i00), float(i01), float(i10), float(i11)) == (1, 0, 0, 1)
+
+    def test_solve(self):
+        a = RNG.randn(50, 2, 2) + 2 * np.eye(2)
+        b = RNG.randn(50, 2)
+        x0, x1 = solve_2x2(a[:, 0, 0], a[:, 0, 1], a[:, 1, 0], a[:, 1, 1],
+                           b[:, 0], b[:, 1])
+        x = np.stack([x0, x1], -1)
+        np.testing.assert_allclose(x, np.linalg.solve(a, b[..., None])[..., 0], atol=1e-5)
+
+    def test_quad_form(self):
+        y = quad_mat_prod(2.0, 0.5, 0.5, 3.0, 1.0, 2.0)
+        assert np.isclose(float(y), 2 + 2 * 0.5 * 2 + 3 * 4)
+
+
+class TestDogson:
+    def test_matches_oracle(self):
+        xs = np.linspace(-2, 2, 201)
+        got = np.asarray(dogson_quadratic_kernel(jnp.asarray(xs)))
+        want = np.array([oracle.dogson_quadratic(x) for x in xs])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestGrey:
+    @pytest.mark.parametrize("shape", [(16, 16), (18, 22), (17, 19)])
+    def test_fft_lowpass(self, shape):
+        img = RNG.rand(*shape).astype(np.float32)
+        got = np.asarray(fft_lowpass_grey(jnp.asarray(img)))
+        want = oracle.fft_lowpass_grey(img)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_decimate(self):
+        img = RNG.rand(8, 10).astype(np.float32)
+        got = np.asarray(decimate_to_grey(jnp.asarray(img)))
+        want = img.reshape(4, 2, 5, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestGAT:
+    def test_formula(self):
+        img = RNG.rand(8, 8).astype(np.float32)
+        alpha, beta = 1.8e-4, 3.19e-6
+        got = np.asarray(gat(jnp.asarray(img), alpha, beta))
+        want = 2 / alpha * np.sqrt(np.maximum(alpha * img + 3 / 8 * alpha ** 2 + beta, 0))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestPyramid:
+    def test_kernel_matches_scipy(self):
+        try:
+            from scipy.ndimage._filters import _gaussian_kernel1d
+        except ImportError:
+            pytest.skip("scipy internals unavailable")
+        for factor in (2, 4):
+            sigma = 0.5 * factor
+            radius = int(4 * sigma + 0.5)
+            got = gaussian_kernel1d(sigma, radius)
+            want = _gaussian_kernel1d(sigma=sigma, order=0, radius=radius)[::-1]
+            np.testing.assert_allclose(got, want, atol=1e-7)
+
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_downsample_matches_oracle(self, factor):
+        img = RNG.rand(64, 72).astype(np.float32)
+        got = np.asarray(downsample(jnp.asarray(img), factor))
+        want = oracle.gaussian_downsample(img.astype(np.float64), factor)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_pyramid_order_coarse_first(self):
+        img = jnp.asarray(RNG.rand(128, 128).astype(np.float32))
+        pyr = build_gaussian_pyramid(img, [1, 2, 4, 4])
+        shapes = [p.shape for p in pyr]
+        assert shapes[-1] == (128, 128)          # finest last
+        assert shapes[0][0] < shapes[1][0] < shapes[2][0] < shapes[3][0]
+
+
+class TestStencils:
+    def test_local_stats(self):
+        img = RNG.rand(3, 9, 11).astype(np.float32)
+        gm, gv = local_stats_3x3(jnp.asarray(img))
+        om, ov = oracle.local_stats_3x3(img.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(gm), om, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gv), ov, atol=1e-5)
+
+    def test_local_min(self):
+        img = RNG.rand(12, 9).astype(np.float32)
+        got = np.asarray(local_min_5x5(jnp.asarray(img)))
+        np.testing.assert_allclose(got, oracle.local_min_5x5(img), atol=1e-7)
+
+    def test_box_sum(self):
+        img = RNG.rand(4, 5, 14, 13).astype(np.float32)
+        got = np.asarray(box_sum_valid(jnp.asarray(img), 6))
+        for a in range(4):
+            for b in range(5):
+                want = oracle.box_sum_valid(img[a, b].astype(np.float64), 6)
+                np.testing.assert_allclose(got[a, b], want, atol=1e-4)
+
+
+class TestGradients:
+    def test_sobel(self):
+        img = RNG.rand(10, 12).astype(np.float32)
+        gx, gy = sobel_gradients(jnp.asarray(img))
+        ox, oy = oracle.sobel_gradients(img)
+        np.testing.assert_allclose(np.asarray(gx), ox, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gy), oy, atol=1e-6)
+
+    def test_halfpixel(self):
+        img = RNG.rand(9, 8).astype(np.float32)
+        got = np.asarray(halfpixel_gradients(jnp.asarray(img)))
+        want = oracle.halfpixel_gradients(img.astype(np.float64))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
