@@ -1,0 +1,106 @@
+"""The end-to-end burst pipeline (Alg. 1), jitted as ONE XLA program.
+
+Rebuild of reference super_resolution.py:41-200 (``main``). Where the
+reference runs a Python loop over frames with per-stage kernel launches,
+Torch<->Numba handoffs, and hand-placed ``cuda.synchronize()`` barriers, this
+pipeline is a single traced program:
+
+- reference-frame precomputations (grey, pyramid, tiles, gradients, Hessians,
+  local stats) happen once and live in HBM;
+- the burst is scanned with ``lax.scan`` (memory-light, like the reference's
+  streaming buffer) over HBM-resident frames, each step running
+  align -> robustness -> kernels -> merge fully fused;
+- the num/den accumulators ride the scan carry; division happens once at the
+  end.
+
+One runtime, one array type — the reference's entire synchronization story
+(SURVEY.md section 1) vanishes by construction.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.grey import fft_lowpass_grey
+from ..utils.types import DEFAULT_FLOAT
+from .alignment import align, init_alignment
+from .kernels import estimate_kernels
+from .merge import merge, merge_ref
+from .robustness import compute_robustness, init_robustness
+
+
+def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
+                 cfa_pattern, white_balance):
+    """Traceable pipeline body. All config/cfa/wb are trace-time constants.
+
+    Returns ``(image, debug)`` where ``image`` is (H*s, W*s, c) num/den and
+    ``debug`` holds optional per-frame flows/robustness and the accumulated
+    robustness mask.
+    """
+    bayer = config.mode == "bayer"
+    scale = config.scale
+    debug_mode = bool(config.debug)
+    accumulate_r = bool(config.accumulated_robustness_denoiser.get("enabled", False)
+                        or config.robustness.save_mask)
+    robustness_denoise = bool(config.accumulated_robustness_denoiser.get("enabled", False))
+
+    ref_img = ref_img.astype(DEFAULT_FLOAT)
+    comp_imgs = comp_imgs.astype(DEFAULT_FLOAT)
+
+    # ---- reference init (amortized across the whole burst)
+    ref_grey = fft_lowpass_grey(ref_img) if bayer else ref_img
+    align_state = init_alignment(ref_grey, config)
+    ref_stats = init_robustness(ref_img, cfa_pattern, white_balance, config)
+
+    h, w = ref_img.shape
+    out_h, out_w = round(scale * h), round(scale * w)
+    n_ch = 3 if bayer else 1
+    num = jnp.zeros((out_h, out_w, n_ch), DEFAULT_FLOAT)
+    den = jnp.zeros((out_h, out_w, n_ch), DEFAULT_FLOAT)
+    acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
+
+    noise_curves = (std_curve, diff_curve)
+
+    def step(carry, frame):
+        num, den, acc_r = carry
+        grey = fft_lowpass_grey(frame) if bayer else frame
+        flow = align(align_state, grey, config)
+        r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
+                               white_balance, noise_curves, config)
+        if acc_r is not None:
+            acc_r = acc_r + r
+        covs = estimate_kernels(frame, config)
+        num, den = merge(frame, flow, covs, r, num, den, cfa_pattern, config)
+        ys = (flow, r) if debug_mode else None
+        return (num, den, acc_r), ys
+
+    (num, den, acc_r), ys = jax.lax.scan(step, (num, den, acc_r), comp_imgs)
+
+    # ---- reference frame accumulation
+    ref_covs = estimate_kernels(ref_img, config)
+    num, den = merge_ref(ref_img, ref_covs, num, den, cfa_pattern, config,
+                         acc_rob=acc_r if robustness_denoise else None)
+
+    image = num / den
+
+    debug = {}
+    if debug_mode and ys is not None:
+        debug["flow"] = ys[0]
+        debug["robustness"] = ys[1]
+    if acc_r is not None:
+        debug["accumulated_robustness"] = acc_r
+    return image, debug
+
+
+def make_pipeline(config, cfa_pattern, white_balance, jit=True):
+    """Build a (jitted) pipeline closure over the static configuration.
+
+    The returned callable takes ``(ref_img, comp_imgs, std_curve, diff_curve)``
+    — all device arrays — so noise curves stay data (no retrace per ISO).
+    """
+    cfa = np.asarray(cfa_pattern)
+    wb = [float(x) for x in white_balance]
+    fn = partial(run_pipeline, config=config, cfa_pattern=cfa, white_balance=wb)
+    return jax.jit(fn) if jit else fn

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests on synthetic bursts with exact ground truth."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hmsr_tpu.configs import default_config, update_snr_config, sanitize_config
+from hmsr_tpu.io.synthetic import make_synthetic_burst, DEFAULT_CFA, area_downsample
+from hmsr_tpu.models.pipeline import make_pipeline
+from hmsr_tpu.utils.metrics import compute_psnr
+
+WB = [1.0, 1.0, 1.0]
+ALPHA, BETA = 1.8e-4, 3.0e-6
+
+
+def flat_curves():
+    """Noise curves for the affine model, evaluated analytically (no MC)."""
+    b = np.arange(1001) / 1000.0
+    std = np.sqrt(np.maximum(ALPHA * b + BETA, 0)).astype(np.float32)
+    # expected |mean1 - mean2| of two 9-px patch means ~ sqrt(2/pi)*sqrt(2*var/9)
+    diff = (np.sqrt(2 / np.pi) * np.sqrt(2 * (ALPHA * b + BETA) / 9)).astype(np.float32)
+    return jnp.asarray(std), jnp.asarray(diff)
+
+
+def small_config(scale=2, bayer=True, robustness=True, iso=False):
+    c = default_config()
+    c.scale = scale
+    c.mode = "bayer" if bayer else "grey"
+    c.block_matching.tuning.tile_size = 16
+    c.block_matching.tuning.factors = [1, 2]
+    c.block_matching.tuning.tile_size_factors = [1, 1]
+    c.block_matching.tuning.search_radii = [1, 4]
+    c.block_matching.tuning.metrics = ["L1", "L2"]
+    c.robustness.enabled = robustness
+    c.robustness.save_mask = robustness
+    c.merging.kernel = "iso" if iso else "steerable"
+    update_snr_config(c, 20)
+    c.block_matching.tuning.tile_size = 16
+    c.block_matching.tuning.tile_sizes = [16, 16]
+    c.noise_model.alpha = ALPHA
+    c.noise_model.beta = BETA
+    c.accumulated_robustness_denoiser.enabled = False
+    sanitize_config(c, (128, 128))
+    return c
+
+
+@pytest.fixture(scope="module")
+def burst():
+    return make_synthetic_burst(128, 128, n_frames=8, alpha=ALPHA, beta=BETA,
+                                seed=11)
+
+
+class TestPipelineE2E:
+    def test_x2_bayer_beats_single_frame(self, burst):
+        ref, comps, truth, _ = burst
+        c = small_config(scale=2)
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, debug = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        img = np.nan_to_num(np.asarray(img))
+
+        crop = 24
+        got = img[crop:-crop, crop:-crop]
+        want = truth[crop:-crop, crop:-crop]
+        psnr = compute_psnr(np.clip(want, 0, 1), np.clip(got, 0, 1))
+
+        # single-frame baseline: nearest-upscaled bilinear-demosaiced ref would
+        # be worse; use the noisy mosaic vs truth signal level as the bar.
+        truth_lr = area_downsample(truth, 2)
+        base = np.repeat(np.repeat(truth_lr, 2, 0), 2, 1)[crop:-crop, crop:-crop]
+        base_psnr = compute_psnr(np.clip(want, 0, 1), np.clip(base, 0, 1))
+
+        assert np.isfinite(psnr)
+        assert psnr > 30.0, f"merged PSNR too low: {psnr:.2f} dB"
+        assert psnr > base_psnr - 1.0, (psnr, base_psnr)
+
+    def test_x1_demosaick_robustness_off(self, burst):
+        ref, comps, truth, _ = burst
+        c = small_config(scale=1, robustness=False)
+        c.robustness.save_mask = False
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        img = np.nan_to_num(np.asarray(img))
+        truth_lr = area_downsample(truth, 2)
+        crop = 12
+        psnr = compute_psnr(np.clip(truth_lr[crop:-crop, crop:-crop], 0, 1),
+                            np.clip(img[crop:-crop, crop:-crop], 0, 1))
+        assert psnr > 30.0, f"x1 demosaick PSNR too low: {psnr:.2f} dB"
+
+    def test_grey_mode(self):
+        ref, comps, truth, _ = make_synthetic_burst(
+            128, 128, n_frames=6, alpha=ALPHA, beta=BETA, seed=3, grey=True)
+        c = small_config(scale=2, bayer=False, iso=True)
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        img = np.nan_to_num(np.asarray(img))[..., 0]
+        crop = 24
+        psnr = compute_psnr(np.clip(truth[crop:-crop, crop:-crop], 0, 1),
+                            np.clip(img[crop:-crop, crop:-crop], 0, 1))
+        assert psnr > 33.0, f"grey x2 PSNR too low: {psnr:.2f} dB"
+
+    def test_debug_outputs(self, burst):
+        ref, comps, _, shifts = burst
+        c = small_config(scale=2)
+        c.debug = True
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, debug = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        assert "flow" in debug and "robustness" in debug
+        assert "accumulated_robustness" in debug
+        flows = np.asarray(debug["flow"])              # (N-1, ny, nx, 2)
+        assert flows.shape[0] == comps.shape[0]
+        # recovered flow should match the known shifts (frames vs ref)
+        inner = flows[:, 2:-2, 2:-2, :]
+        est = inner.mean(axis=(1, 2))
+        np.testing.assert_allclose(est, shifts[1:], atol=0.35)
+        accr = np.asarray(debug["accumulated_robustness"])
+        assert accr.shape == ref.shape
+        assert np.all(accr >= 0) and np.all(accr <= comps.shape[0])
+
+    def test_more_frames_reduce_noise(self):
+        ref, comps, truth, _ = make_synthetic_burst(
+            128, 128, n_frames=10, alpha=3e-3, beta=1e-4, seed=7)
+        c = small_config(scale=2)
+        c.noise_model.alpha = 3e-3
+        c.noise_model.beta = 1e-4
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        b = np.arange(1001) / 1000.0
+        std = jnp.asarray(np.sqrt(3e-3 * b + 1e-4).astype(np.float32))
+        diff = jnp.asarray((np.sqrt(2 / np.pi * 2 * (3e-3 * b + 1e-4) / 9)).astype(np.float32))
+
+        crop = 24
+        want = np.clip(truth[crop:-crop, crop:-crop], 0, 1)
+
+        img2, _ = pipe(jnp.asarray(ref), jnp.asarray(comps[:2]), std, diff)
+        img9, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        p2 = compute_psnr(want, np.clip(np.nan_to_num(np.asarray(img2))[crop:-crop, crop:-crop], 0, 1))
+        p9 = compute_psnr(want, np.clip(np.nan_to_num(np.asarray(img9))[crop:-crop, crop:-crop], 0, 1))
+        assert p9 > p2, (p2, p9)
