@@ -1,0 +1,145 @@
+"""Public API: ``process(burst_path, config)`` — host orchestration.
+
+Rebuild of reference super_resolution.py:203-360: burst ingestion, noise
+model selection, on-the-fly noise-curve calibration, SNR-adaptive
+hyperparameters, the jitted device pipeline, optional frame-count denoising,
+finishing ISP, and EXIF orientation.
+"""
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..configs import default_config, merge as merge_config, sanitize_config, \
+    update_snr_config
+from ..finishing import (apply_orientation, frame_count_denoising_gauss,
+                         frame_count_denoising_median, postprocess)
+from ..io.burst import load_burst
+from ..noise import run_fast_MC
+from ..utils.timing import getTime
+from ..utils.types import DEFAULT_NUMPY_FLOAT
+from .pipeline import make_pipeline
+
+
+def process(burst_path, config=None):
+    """Process a raw burst folder / bundle into an RGB image.
+
+    Returns ``(output_image, debug_dict)`` like the reference API.
+    """
+    if config is None:
+        config = default_config()
+    burst = load_burst(burst_path, mode=config.mode)
+    return process_burst(burst, config)
+
+
+def process_arrays(ref_raw, comp_raws, config=None, cfa=None,
+                   white_balance=None, xyz2cam=None, orientation=1, iso=100):
+    """Process an already-loaded burst of raw arrays."""
+    from ..io.burst import Burst
+    if config is None:
+        config = default_config()
+    if cfa is None:
+        cfa = np.array([[0, 1], [1, 2]])
+    if white_balance is None:
+        white_balance = [1.0, 1.0, 1.0]
+    burst = Burst(ref_raw=np.asarray(ref_raw, DEFAULT_NUMPY_FLOAT),
+                  comp_raws=np.asarray(comp_raws, DEFAULT_NUMPY_FLOAT),
+                  iso=iso, cfa=np.asarray(cfa), xyz2cam=xyz2cam,
+                  white_balance=list(white_balance), noise_alpha=None,
+                  noise_beta=None, orientation=orientation, ref_path=None)
+    return process_burst(burst, config)
+
+
+def process_burst(burst, config):
+    t0 = time.perf_counter()
+    verbose_1 = config.verbose >= 1
+    verbose_2 = config.verbose >= 2
+
+    # ---- noise model: user-provided > EXIF noise profile
+    if config.noise_model.get("alpha", None) is not None:
+        if verbose_1:
+            print("Using user provided alpha and beta values")
+        alpha = config.noise_model.alpha
+        beta = config.noise_model.beta
+    elif burst.noise_alpha is not None:
+        alpha = burst.noise_alpha
+        beta = burst.noise_beta
+    else:
+        raise ValueError(
+            "No noise model available: provide noise_model.alpha/beta in the "
+            "config or use DNGs/bundles carrying a noise profile tag.")
+    config.noise_model.update({"alpha": float(alpha), "beta": float(beta)})
+
+    # ---- on-the-fly noise-curve calibration (cached per alpha/beta)
+    std_curve, diff_curve = run_fast_MC(alpha, beta)
+    if verbose_2:
+        t0 = getTime(t0, " -- Read raw files & noise curves")
+
+    # ---- SNR-adaptive hyperparameters
+    brightness = float(np.mean(burst.ref_raw))
+    id_noise = int(round(1000 * brightness))
+    std = std_curve[np.clip(id_noise, 0, len(std_curve) - 1)]
+    SNR = brightness / std
+    if verbose_1:
+        print(" ", 10 * "-")
+        print(f"|ISO : {burst.iso}")
+        print(f"|Image brightness : {brightness:.2f}")
+        print(f"|expected noise std : {std:.2e}")
+        print(f"|Estimated SNR : {SNR:.2f}")
+
+    update_snr_config(config, SNR)
+    sanitize_config(config, burst.ref_raw.shape)
+
+    ard = config.accumulated_robustness_denoiser
+    ard.enabled = bool(ard.median.enabled or ard.gauss.enabled or ard.merge.enabled)
+
+    # ---- the jitted device pipeline
+    pipe = make_pipeline(config, burst.cfa, burst.white_balance)
+    image, debug = pipe(jnp.asarray(burst.ref_raw),
+                        jnp.asarray(burst.comp_raws),
+                        jnp.asarray(std_curve, DEFAULT_NUMPY_FLOAT),
+                        jnp.asarray(diff_curve, DEFAULT_NUMPY_FLOAT))
+
+    # ---- frame-count-aware post denoising
+    median_cfg = ard.median
+    gauss_cfg = ard.gauss
+    if median_cfg.enabled or gauss_cfg.enabled:
+        if verbose_1:
+            print("-- Robustness aware bluring")
+        acc_r = debug["accumulated_robustness"]
+        if median_cfg.enabled:
+            mc = median_cfg.copy()
+            mc["scale"] = config.scale
+            image = frame_count_denoising_median(image, acc_r, mc)
+        if gauss_cfg.enabled:
+            gc = gauss_cfg.copy()
+            gc["scale"] = config.scale
+            image = frame_count_denoising_gauss(image, acc_r, gc)
+
+    image = np.asarray(image)
+
+    # ---- finishing ISP
+    if config.postprocessing.enabled:
+        if verbose_2:
+            print("-- Post processing image")
+        rgb = np.repeat(image, 3, axis=-1) if image.shape[-1] == 1 else image
+        image = postprocess(rgb,
+                            do_color_correction=config.postprocessing.do_color_correction,
+                            do_tonemapping=config.postprocessing.do_tonemapping,
+                            do_gamma=config.postprocessing.do_gamma_correction,
+                            sharpening_config=config.postprocessing.sharpening,
+                            do_devignette=config.postprocessing.do_devignetting,
+                            xyz2cam=burst.xyz2cam)
+
+    image = apply_orientation(image, burst.orientation)
+    out_debug = {k: np.asarray(v) for k, v in debug.items()}
+    if "accumulated_robustness" in out_debug:
+        out_debug["accumulated_robustness"] = apply_orientation(
+            out_debug["accumulated_robustness"], burst.orientation)
+
+    if verbose_1:
+        s = "\nTotal ellapsed time : "
+        print(s, " " * (50 - len(s)), ": ", round(time.perf_counter() - t0, 2),
+              "seconds")
+    return image, out_debug

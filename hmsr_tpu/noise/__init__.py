@@ -1,0 +1,3 @@
+from .fast_monte_carlo import run_fast_MC, get_non_linearity_bound, monte_carlo_curves
+
+__all__ = ["run_fast_MC", "get_non_linearity_bound", "monte_carlo_curves"]
