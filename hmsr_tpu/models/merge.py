@@ -77,8 +77,12 @@ def _interp_cov(covs, kmap_i, kmap_j, trunc_floor=True):
     return out[0], out[1], out[2]
 
 
-def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config):
-    """Accumulate a non-reference frame into (num, den); returns updated pair."""
+def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config, row_offset=0):
+    """Accumulate a non-reference frame into (num, den); returns updated pair.
+
+    ``row_offset`` shifts the HR row coordinates — used when (num, den) is a
+    spatially-sharded row block of the full accumulator (parallel pipeline).
+    """
     scale = config.scale
     bayer = config.mode == "bayer"
     iso = config.merging.kernel == "iso"
@@ -87,7 +91,7 @@ def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     lr_h, lr_w = comp_img.shape
     hr_h, hr_w, n_ch = num.shape
 
-    hr_i = jnp.arange(hr_h, dtype=DEFAULT_FLOAT)[:, None]
+    hr_i = (jnp.arange(hr_h) + row_offset).astype(DEFAULT_FLOAT)[:, None]
     hr_j = jnp.arange(hr_w, dtype=DEFAULT_FLOAT)[None, :]
     lr_y = (hr_i + 0.5) / scale
     lr_x = (hr_j + 0.5) / scale
@@ -129,8 +133,8 @@ def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config):
 
     wr = jnp.where(inbound, local_r, 0.0)
 
-    val = jnp.zeros((hr_h, hr_w, n_ch), DEFAULT_FLOAT)
-    acc = jnp.zeros((hr_h, hr_w, n_ch), DEFAULT_FLOAT)
+    vals = [0.0] * n_ch
+    accs = [0.0] * n_ch
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             i = center_i + di
@@ -154,16 +158,18 @@ def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config):
                 ch = _cfa_channel(i, j, cfa_pattern)
                 for k in range(n_ch):
                     mask = (ch == k).astype(DEFAULT_FLOAT)
-                    val = val.at[..., k].add(w * c * mask)
-                    acc = acc.at[..., k].add(w * mask)
+                    vals[k] = vals[k] + w * c * mask
+                    accs[k] = accs[k] + w * mask
             else:
-                val = val.at[..., 0].add(w * c)
-                acc = acc.at[..., 0].add(w)
+                vals[0] = vals[0] + w * c
+                accs[0] = accs[0] + w
 
-    return num + val, den + acc
+    return (num + jnp.stack(vals, axis=-1),
+            den + jnp.stack(accs, axis=-1))
 
 
-def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
+def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None,
+              row_offset=0):
     """Accumulate the reference frame (Alg. 11); returns updated (num, den)."""
     scale = config.scale
     bayer = config.mode == "bayer"
@@ -183,7 +189,7 @@ def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
     in_h, in_w = ref_img.shape
     hr_h, hr_w, n_ch = num.shape
 
-    hr_i = jnp.arange(hr_h, dtype=DEFAULT_FLOAT)[:, None]
+    hr_i = (jnp.arange(hr_h) + row_offset).astype(DEFAULT_FLOAT)[:, None]
     hr_j = jnp.arange(hr_w, dtype=DEFAULT_FLOAT)[None, :]
     pos_y = hr_i / scale
     pos_x = hr_j / scale
@@ -211,8 +217,8 @@ def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
     center_y = jnp.round(pos_y).astype(jnp.int32)
     center_x = jnp.round(pos_x).astype(jnp.int32)
 
-    val = jnp.zeros((hr_h, hr_w, n_ch), DEFAULT_FLOAT)
-    acc = jnp.zeros((hr_h, hr_w, n_ch), DEFAULT_FLOAT)
+    vals = [0.0] * n_ch
+    accs = [0.0] * n_ch
     for di in range(-rad_max, rad_max + 1):
         for dj in range(-rad_max, rad_max + 1):
             i = center_y + di
@@ -239,12 +245,14 @@ def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
                 ch = _cfa_channel(i, j, cfa_pattern)
                 for k in range(n_ch):
                     mask = (ch == k).astype(DEFAULT_FLOAT)
-                    val = val.at[..., k].add(w * c * mask)
-                    acc = acc.at[..., k].add(w * mask)
+                    vals[k] = vals[k] + w * c * mask
+                    accs[k] = accs[k] + w * mask
             else:
-                val = val.at[..., 0].add(w * c)
-                acc = acc.at[..., 0].add(w)
+                vals[0] = vals[0] + w * c
+                accs[0] = accs[0] + w
 
+    val = jnp.stack(vals, axis=-1)
+    acc = jnp.stack(accs, axis=-1)
     if robustness_denoise:
         overwrite = (local_acc_r < max_frame_count)[..., None]
         new_num = jnp.where(overwrite, val, num + val)

@@ -1,0 +1,138 @@
+"""Multi-chip burst processing: DP over frames x SP over the HR accumulator.
+
+The reference is single-GPU (SURVEY.md section 2.3); the natural TPU scaling
+of this pipeline is:
+
+- **frames axis (data parallel)**: burst frames are sharded across devices;
+  each device aligns/weights/merges its local frames into partial num/den
+  accumulators, which are ``psum``-reduced over ICI — the accumulator
+  formulation makes the merge embarrassingly reducible;
+- **space axis (spatial parallel)**: the HR num/den grid is sharded by row
+  blocks; each device only evaluates the merge for its block (the row-offset
+  parameter of :func:`hmsr_tpu.models.merge.merge`), bounding HR memory per
+  chip — the long-context/sequence-parallel analogue for this workload.
+
+Reference-frame precomputations are replicated (they are amortized once per
+burst). Communication: one psum of (num, den, acc_r) per burst — bandwidth
+O(HR image), latency-insensitive, rides ICI.
+
+Frame-count divisibility is handled by zero-weight padding frames: the
+per-frame weight multiplies the robustness mask, so padded frames contribute
+exactly nothing to any accumulator.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..models.alignment import align, init_alignment
+from ..models.kernels import estimate_kernels
+from ..models.merge import merge, merge_ref
+from ..models.robustness import compute_robustness, init_robustness
+from ..ops.grey import fft_lowpass_grey
+from ..utils.types import DEFAULT_FLOAT
+
+
+def make_mesh(n_frames_axis, n_space_axis, devices=None):
+    """Build a ('frames', 'space') device mesh."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_frames_axis * n_space_axis
+    assert len(devices) >= n, (len(devices), n)
+    dev = np.array(devices[:n]).reshape(n_frames_axis, n_space_axis)
+    return Mesh(dev, ("frames", "space"))
+
+
+def pad_frames(comp_imgs, n_shards):
+    """Pad the frame stack to a multiple of ``n_shards``; returns (frames, weights)."""
+    n = comp_imgs.shape[0]
+    pad = (-n) % n_shards
+    weights = np.ones((n + pad,), np.float32)
+    if pad:
+        comp_imgs = np.concatenate(
+            [comp_imgs, np.zeros((pad, *comp_imgs.shape[1:]), comp_imgs.dtype)])
+        weights[n:] = 0.0
+    return comp_imgs, weights
+
+
+def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
+    """Build the sharded pipeline: (ref, comps, weights, std, diff) -> image.
+
+    ``comps``/``weights`` must be padded to a multiple of the mesh's frames
+    axis (see :func:`pad_frames`). Output is the full (H*s, W*s, c) image,
+    row-sharded over the space axis.
+    """
+    cfa = np.asarray(cfa_pattern)
+    wb = [float(x) for x in white_balance]
+    n_space = mesh.shape["space"]
+
+    bayer = config.mode == "bayer"
+    scale = config.scale
+    robustness_denoise = bool(config.accumulated_robustness_denoiser.get("enabled", False))
+    accumulate_r = bool(robustness_denoise or config.robustness.save_mask)
+
+    def body(ref_img, comps_local, weights_local, std_curve, diff_curve):
+        ref_img = ref_img.astype(DEFAULT_FLOAT)
+        comps_local = comps_local.astype(DEFAULT_FLOAT)
+
+        ref_grey = fft_lowpass_grey(ref_img) if bayer else ref_img
+        align_state = init_alignment(ref_grey, config)
+        ref_stats = init_robustness(ref_img, cfa, wb, config)
+
+        h, w = ref_img.shape
+        out_h, out_w = round(scale * h), round(scale * w)
+        assert out_h % n_space == 0, (out_h, n_space)
+        block = out_h // n_space
+        row_offset = jax.lax.axis_index("space") * block
+
+        n_ch = 3 if bayer else 1
+        # mark the initial carries as device-varying over both mesh axes so
+        # the scan carry type matches its (frame- and offset-dependent) output
+        vary = ("frames", "space")
+        num = jax.lax.pcast(jnp.zeros((block, out_w, n_ch), DEFAULT_FLOAT), vary,
+                            to="varying")
+        den = jax.lax.pcast(jnp.zeros((block, out_w, n_ch), DEFAULT_FLOAT), vary,
+                            to="varying")
+        acc_r = jax.lax.pcast(jnp.zeros((h, w), DEFAULT_FLOAT), vary,
+                              to="varying") if accumulate_r else None
+
+        def step(carry, xs):
+            num, den, acc_r = carry
+            frame, weight = xs
+            grey = fft_lowpass_grey(frame) if bayer else frame
+            flow = align(align_state, grey, config)
+            r = compute_robustness(frame, ref_stats, flow, cfa, wb,
+                                   (std_curve, diff_curve), config)
+            r = r * weight          # zero-weight padding frames contribute nothing
+            if acc_r is not None:
+                acc_r = acc_r + r
+            covs = estimate_kernels(frame, config)
+            num, den = merge(frame, flow, covs, r, num, den, cfa, config,
+                             row_offset=row_offset)
+            return (num, den, acc_r), None
+
+        (num, den, acc_r), _ = jax.lax.scan(step, (num, den, acc_r),
+                                            (comps_local, weights_local))
+
+        # reduce partial accumulators over the frame shards (ICI collective)
+        num = jax.lax.psum(num, "frames")
+        den = jax.lax.psum(den, "frames")
+        if acc_r is not None:
+            acc_r = jax.lax.psum(acc_r, "frames")
+
+        ref_covs = estimate_kernels(ref_img, config)
+        num, den = merge_ref(ref_img, ref_covs, num, den, cfa, config,
+                             acc_rob=acc_r if robustness_denoise else None,
+                             row_offset=row_offset)
+        return num / den
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("frames"), P("frames"), P(), P()),
+        out_specs=P("space"),
+    )
+    return jax.jit(sharded) if jit else sharded

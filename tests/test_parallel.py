@@ -1,0 +1,69 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hmsr_tpu.configs import default_config, update_snr_config
+from hmsr_tpu.io.synthetic import make_synthetic_burst, DEFAULT_CFA
+from hmsr_tpu.models.pipeline import make_pipeline
+from hmsr_tpu.parallel import make_mesh, make_sharded_pipeline, pad_frames
+
+WB = [1.0, 1.0, 1.0]
+ALPHA, BETA = 1.8e-4, 3.0e-6
+
+
+def small_config(scale=2):
+    c = default_config()
+    c.scale = scale
+    c.block_matching.tuning.tile_size = 16
+    c.block_matching.tuning.factors = [1, 2]
+    c.block_matching.tuning.tile_size_factors = [1, 1]
+    c.block_matching.tuning.search_radii = [1, 4]
+    c.block_matching.tuning.metrics = ["L1", "L2"]
+    update_snr_config(c, 20)
+    c.block_matching.tuning.tile_size = 16
+    c.block_matching.tuning.tile_sizes = [16, 16]
+    c.noise_model.alpha = ALPHA
+    c.noise_model.beta = BETA
+    c.accumulated_robustness_denoiser.enabled = False
+    return c
+
+
+def curves():
+    b = np.arange(1001) / 1000.0
+    std = np.sqrt(np.maximum(ALPHA * b + BETA, 0)).astype(np.float32)
+    diff = (np.sqrt(2 / np.pi * 2 * (ALPHA * b + BETA) / 9)).astype(np.float32)
+    return jnp.asarray(std), jnp.asarray(diff)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (2, 4)])
+def test_sharded_matches_single_chip(mesh_shape):
+    ref, comps, _, _ = make_synthetic_burst(64, 64, n_frames=6, alpha=ALPHA,
+                                            beta=BETA, seed=9)
+    c = small_config()
+    std, diff = curves()
+
+    single = make_pipeline(c, DEFAULT_CFA, WB)
+    want, _ = single(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+
+    mesh = make_mesh(*mesh_shape)
+    pipe = make_sharded_pipeline(c, DEFAULT_CFA, WB, mesh)
+    frames, weights = pad_frames(comps, mesh_shape[0])
+    got = pipe(jnp.asarray(ref), jnp.asarray(frames), jnp.asarray(weights),
+               std, diff)
+
+    np.testing.assert_allclose(np.nan_to_num(np.asarray(got)),
+                               np.nan_to_num(np.asarray(want)),
+                               atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pad_frames():
+    comps = np.random.rand(5, 8, 8).astype(np.float32)
+    frames, weights = pad_frames(comps, 4)
+    assert frames.shape[0] == 8
+    assert weights.tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
