@@ -28,14 +28,14 @@ def log(*a):
 def make_burst(h, w, n_frames, alpha, beta, seed=0):
     """Cheap 12MP-scale synthetic burst: integer-rolled + noisy mosaics."""
     rng = np.random.RandomState(seed)
-    base = rng.rand(h // 16, w // 16).astype(np.float32)
+    base = rng.rand(h // 16 + 1, w // 16 + 1).astype(np.float32)
     img = np.kron(base, np.ones((16, 16), np.float32))[:h, :w]
     try:
         from scipy.ndimage import gaussian_filter
         img = gaussian_filter(img, 4.0)
     except ImportError:
         pass
-    img = 0.1 + 0.8 * (img - img.min()) / (img.ptp() + 1e-9)
+    img = 0.1 + 0.8 * (img - img.min()) / (np.ptp(img) + 1e-9)
 
     frames = np.empty((n_frames, h, w), np.float32)
     for n in range(n_frames):
