@@ -49,6 +49,8 @@ def make_burst(h, w, n_frames, alpha, beta, seed=0):
 
 def main():
     import jax
+    # NOTE: do not enable the persistent compilation cache here — it wedges
+    # the axon remote-compile backend (hangs on executable serialization).
     import jax.numpy as jnp
     from hmsr_tpu.configs import default_config, update_snr_config, sanitize_config
     from hmsr_tpu.models.pipeline import make_pipeline

@@ -28,7 +28,47 @@ from ..utils.types import DEFAULT_FLOAT
 from .alignment import align, init_alignment
 from .kernels import estimate_kernels
 from .merge import merge, merge_ref
+from .merge_tiled import merge_tiled
 from .robustness import compute_robustness, init_robustness
+
+
+def select_merge(config):
+    """Pick the merge implementation: tiled (TPU fast path) when the scale is
+    a positive integer, else the reference-layout gather path."""
+    impl = config.get("tpu", {}).get("merge_impl", "auto")
+    integer_scale = float(config.scale) == int(config.scale)
+    if impl == "gather" or (impl == "auto" and not integer_scale):
+        return merge
+    if not integer_scale:
+        raise ValueError("tiled merge requires an integer scale")
+    return merge_tiled
+
+
+def merge_ref_banded(ref_img, covs, num, den, cfa_pattern, config,
+                     acc_rob=None, band_rows=512):
+    """Reference-frame merge evaluated in HR row bands (bounded temporaries).
+
+    Mathematically identical to :func:`merge_ref`; the banding only bounds the
+    size of the materialized gather intermediates at 48MP outputs.
+    """
+    out_h = num.shape[0]
+    band_rows = min(band_rows, out_h)
+    n_bands = -(-out_h // band_rows)
+    pad_h = n_bands * band_rows
+
+    def one_band(start):
+        nb = jax.lax.dynamic_slice_in_dim(num_p, start, band_rows, 0)
+        db = jax.lax.dynamic_slice_in_dim(den_p, start, band_rows, 0)
+        return merge_ref(ref_img, covs, nb, db, cfa_pattern, config,
+                         acc_rob=acc_rob, row_offset=start)
+
+    num_p = jnp.pad(num, ((0, pad_h - out_h), (0, 0), (0, 0)))
+    den_p = jnp.pad(den, ((0, pad_h - out_h), (0, 0), (0, 0)))
+    starts = jnp.arange(n_bands, dtype=jnp.int32) * band_rows
+    nb, db = jax.lax.map(one_band, starts)
+    nb = nb.reshape(pad_h, *num.shape[1:])[:out_h]
+    db = db.reshape(pad_h, *den.shape[1:])[:out_h]
+    return nb, db
 
 
 def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
@@ -62,6 +102,7 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
     noise_curves = (std_curve, diff_curve)
+    merge_fn = select_merge(config)
 
     def step(carry, frame):
         num, den, acc_r = carry
@@ -72,7 +113,7 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         if acc_r is not None:
             acc_r = acc_r + r
         covs = estimate_kernels(frame, config)
-        num, den = merge(frame, flow, covs, r, num, den, cfa_pattern, config)
+        num, den = merge_fn(frame, flow, covs, r, num, den, cfa_pattern, config)
         ys = (flow, r) if debug_mode else None
         return (num, den, acc_r), ys
 
@@ -80,8 +121,9 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
 
     # ---- reference frame accumulation
     ref_covs = estimate_kernels(ref_img, config)
-    num, den = merge_ref(ref_img, ref_covs, num, den, cfa_pattern, config,
-                         acc_rob=acc_r if robustness_denoise else None)
+    num, den = merge_ref_banded(ref_img, ref_covs, num, den, cfa_pattern,
+                                config,
+                                acc_rob=acc_r if robustness_denoise else None)
 
     image = num / den
 
