@@ -238,3 +238,228 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     v = v.reshape(n_bands * _BAND_TILE_ROWS * B, ntx * B, n_ch)
     a = a.reshape(n_bands * _BAND_TILE_ROWS * B, ntx * B, n_ch)
     return num + v[:out_h, :out_w], den + a[:out_h, :out_w]
+
+
+# ---------------------------------------------------------------------------
+# Reference-frame merge (Alg. 11), gather-free.
+# ---------------------------------------------------------------------------
+
+def _round_half_even(x):
+    return int(np.round(x))
+
+
+def _resample_nn(arr, s, n_out, taps, axis, pad_mode):
+    """out_t[R] = arr[round_half_even(R/s) + t] along ``axis`` for each tap t.
+
+    The half-even rounding staircase has exact period 2s, so each output is a
+    phase interleave of 2s static strided slices — no gather. ``pad_mode``
+    'zero' leaves out-of-range taps at 0 (they are masked downstream), 'edge'
+    replicates (index-clamping semantics). Returns a dict tap -> array.
+    """
+    P = 2 * s
+    n = arr.shape[axis]
+    nq = -(-n_out // P)
+    c_p = [_round_half_even(p / s) for p in range(P)]
+
+    lo = -min(taps) - min(c_p)
+    hi = max(c_p) + 2 * (nq - 1) + max(taps) + 1 - n
+    lo = max(lo, 0)
+    hi = max(hi, 0)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (lo, hi)
+    arr_pad = jnp.pad(arr, pad, mode="edge" if pad_mode == "edge" else "constant")
+
+    def take(start):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start + lo, start + lo + 2 * nq, 2)
+        return arr_pad[tuple(idx)]
+
+    out = {}
+    for t in taps:
+        phases = [take(c_p[p] + t) for p in range(P)]
+        stacked = jnp.stack(phases, axis=axis + 1)
+        shape = list(arr.shape)
+        shape[axis] = nq * P
+        merged = stacked.reshape(shape[:axis] + [nq * P] + shape[axis + 1:])
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(0, n_out)
+        out[t] = merged[tuple(idx)]
+    return out
+
+
+def _floor_resample(arr, period, m, n_out, taps, axis):
+    """out_t[R] = arr[(R + m)//period + t] with linear-extrapolation padding
+    at index -1 and edge padding beyond (covariance clamping semantics)."""
+    n = arr.shape[axis]
+    nq = -(-n_out // period)
+    e_p = [(p + m) // period for p in range(period)]
+
+    lo = max(0, -(min(e_p) + min(taps)))
+    hi = max(0, max(e_p) + nq - 1 + max(taps) + 1 - n)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (lo, hi)
+    arr_pad = jnp.pad(arr, pad, mode="edge")
+    if lo > 0:
+        # linear extrapolation at global index -1 (see merge_tiled docstring)
+        sl = [slice(None)] * arr.ndim
+
+        def row(i):
+            s2 = list(sl)
+            s2[axis] = i
+            return tuple(s2)
+        arr_pad = arr_pad.at[row(lo - 1)].set(
+            2.0 * arr_pad[row(lo)] - arr_pad[row(lo + 1)])
+
+    def take(start):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start + lo, start + lo + nq)
+        return arr_pad[tuple(idx)]
+
+    out = {}
+    for t in taps:
+        phases = [take(e_p[p] + t) for p in range(period)]
+        stacked = jnp.stack(phases, axis=axis + 1)
+        shape = list(arr.shape)
+        merged = stacked.reshape(shape[:axis] + [nq * period] + shape[axis + 1:])
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(0, n_out)
+        out[t] = merged[tuple(idx)]
+    return out
+
+
+def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
+    """Gather-free reference-frame accumulation; exact ``merge_ref`` semantics.
+
+    With zero flow every coordinate staircase is static, so all neighborhood
+    reads become phase-interleaved strided slices (pure layout ops + dense
+    math). Requires integer scale.
+    """
+    s = int(config.scale)
+    assert s == config.scale and s >= 1
+    bayer = config.mode == "bayer"
+    iso = config.merging.kernel == "iso"
+    cfa = _cfa_lut(cfa_pattern)
+    g = 2 if bayer else 1
+
+    denoise_cfg = config.accumulated_robustness_denoiser
+    robustness_denoise = bool(denoise_cfg.get("enabled", False)) and acc_rob is not None
+    if robustness_denoise:
+        rad_max = int(denoise_cfg.merge.rad_max)
+        max_multiplier = float(denoise_cfg.merge.max_multiplier)
+        max_frame_count = float(denoise_cfg.merge.max_frame_count)
+    else:
+        rad_max = 1
+        max_multiplier = 1.0
+        max_frame_count = 0.0
+
+    H, W = ref_img.shape
+    out_h, out_w, n_ch = num.shape
+
+    taps = list(range(-rad_max, rad_max + 1))
+    rows = _resample_nn(ref_img, s, out_h, taps, axis=0, pad_mode="zero")
+    ref_taps = {di: _resample_nn(rows[di], s, out_w, taps, axis=1,
+                                 pad_mode="zero")
+                for di in taps}
+
+    # global tap coordinates (for masks / parities / distances)
+    P = 2 * s
+    c_p = np.array([_round_half_even(p / s) for p in range(P)], np.int64)
+    nq = -(-out_h // P)
+    center_y = (np.tile(c_p, nq) + np.repeat(np.arange(nq) * 2, P))[:out_h]
+    nqx = -(-out_w // P)
+    center_x = (np.tile(c_p, nqx) + np.repeat(np.arange(nqx) * 2, P))[:out_w]
+    center_y = jnp.asarray(center_y, jnp.int32)
+    center_x = jnp.asarray(center_x, jnp.int32)
+
+    pos_y = (jnp.arange(out_h, dtype=DEFAULT_FLOAT) / s)[:, None]
+    pos_x = (jnp.arange(out_w, dtype=DEFAULT_FLOAT) / s)[None, :]
+
+    if not iso:
+        cov_comp = jnp.stack([covs[..., 0, 0], covs[..., 0, 1], covs[..., 1, 1]])
+        if bayer:
+            # grey_pos = (R/s - 0.5)/2 ; floor = (R + floor(-s/2...)) // (2s)
+            period = 2 * s
+            m = int(np.floor(-0.5 * s))
+            kmap_y = (pos_y - 0.5) / 2.0
+            kmap_x = (pos_x - 0.5) / 2.0
+        else:
+            period = s
+            m = 0
+            kmap_y = pos_y
+            kmap_x = pos_x
+
+        rowc = _floor_resample(cov_comp, period, m, out_h, [0, 1], axis=1)
+        ctaps = {dy: _floor_resample(rowc[dy], period, m, out_w, [0, 1], axis=2)
+                 for dy in (0, 1)}
+
+        kfloor_y = (jnp.arange(out_h, dtype=jnp.int32) + m) // period
+        kfloor_x = (jnp.arange(out_w, dtype=jnp.int32) + m) // period
+        frac_y = (kmap_y - kfloor_y.astype(DEFAULT_FLOAT)[:, None])
+        frac_x = (kmap_x - kfloor_x.astype(DEFAULT_FLOAT)[None, :])
+
+        c00 = ctaps[0][0]
+        c01 = ctaps[0][1]
+        c10 = ctaps[1][0]
+        c11 = ctaps[1][1]
+        top = c00 + frac_x * (c01 - c00)
+        bot = c10 + frac_x * (c11 - c10)
+        cc = top + frac_y * (bot - top)
+        det = cc[0] * cc[2] - cc[1] * cc[1]
+        ok = jnp.abs(det) > 1e-10
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 1.0)
+        ixx = jnp.where(ok, inv_det * cc[2], 1.0)
+        ixy = jnp.where(ok, -inv_det * cc[1], 0.0)
+        iyy = jnp.where(ok, inv_det * cc[0], 1.0)
+
+    if robustness_denoise:
+        ar_rows = _resample_nn(acc_rob, s, out_h, [0], axis=0, pad_mode="edge")[0]
+        local_acc_r = _resample_nn(ar_rows, s, out_w, [0], axis=1,
+                                   pad_mode="edge")[0]
+        power = jnp.where(local_acc_r <= max_frame_count, max_multiplier, 1.0)
+        rad = jnp.where(local_acc_r <= max_frame_count, rad_max, 1)
+    else:
+        power = 1.0
+        rad = 1
+
+    vals = [0.0] * n_ch
+    accs = [0.0] * n_ch
+    for di in taps:
+        i_g = center_y + di
+        inb_i = ((i_g >= 0) & (i_g < H))[:, None]
+        pi = (i_g % 2)[:, None]
+        dist_y = (i_g.astype(DEFAULT_FLOAT))[:, None] - pos_y
+        for dj in taps:
+            j_g = center_x + dj
+            inb = inb_i & ((j_g >= 0) & (j_g < W))[None, :]
+            if robustness_denoise:
+                inb = inb & (abs(di) <= rad) & (abs(dj) <= rad)
+            pj = (j_g % 2)[None, :]
+            dist_x = (j_g.astype(DEFAULT_FLOAT))[None, :] - pos_x
+            c = ref_taps[di][dj]
+
+            if iso:
+                z = jnp.maximum(0.0, 2.0 * (dist_x * dist_x + dist_y * dist_y))
+            else:
+                z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
+                    + iyy * dist_y * dist_y
+                z = jnp.maximum(z, 0.0)
+            z = z / power
+            w = jnp.exp(-0.5 * z) * inb
+
+            if bayer:
+                ch = _channel_from_parity(pi, pj, cfa)
+                for k in range(n_ch):
+                    mask = (ch == k).astype(DEFAULT_FLOAT)
+                    vals[k] = vals[k] + w * c * mask
+                    accs[k] = accs[k] + w * mask
+            else:
+                vals[0] = vals[0] + w * c
+                accs[0] = accs[0] + w
+
+    val = jnp.stack(vals, -1)
+    acc = jnp.stack(accs, -1)
+    if robustness_denoise:
+        overwrite = (local_acc_r < max_frame_count)[..., None]
+        return (jnp.where(overwrite, val, num + val),
+                jnp.where(overwrite, acc, den + acc))
+    return num + val, den + acc

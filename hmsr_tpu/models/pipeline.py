@@ -28,20 +28,31 @@ from ..utils.types import DEFAULT_FLOAT
 from .alignment import align, init_alignment
 from .kernels import estimate_kernels
 from .merge import merge, merge_ref
-from .merge_tiled import merge_tiled
+from .merge_tiled import merge_tiled, merge_ref_tiled
 from .robustness import compute_robustness, init_robustness
+
+
+def _use_tiled(config):
+    impl = config.get("tpu", {}).get("merge_impl", "auto")
+    integer_scale = float(config.scale) == int(config.scale)
+    if impl == "gather" or (impl == "auto" and not integer_scale):
+        return False
+    if not integer_scale:
+        raise ValueError("tiled merge requires an integer scale")
+    return True
 
 
 def select_merge(config):
     """Pick the merge implementation: tiled (TPU fast path) when the scale is
     a positive integer, else the reference-layout gather path."""
-    impl = config.get("tpu", {}).get("merge_impl", "auto")
-    integer_scale = float(config.scale) == int(config.scale)
-    if impl == "gather" or (impl == "auto" and not integer_scale):
-        return merge
-    if not integer_scale:
-        raise ValueError("tiled merge requires an integer scale")
-    return merge_tiled
+    return merge_tiled if _use_tiled(config) else merge
+
+
+def select_merge_ref(config):
+    """Reference-frame merge implementation (see :func:`select_merge`)."""
+    if _use_tiled(config):
+        return merge_ref_tiled
+    return merge_ref_banded
 
 
 def merge_ref_banded(ref_img, covs, num, den, cfa_pattern, config,
@@ -121,9 +132,9 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
 
     # ---- reference frame accumulation
     ref_covs = estimate_kernels(ref_img, config)
-    num, den = merge_ref_banded(ref_img, ref_covs, num, den, cfa_pattern,
-                                config,
-                                acc_rob=acc_r if robustness_denoise else None)
+    merge_ref_fn = select_merge_ref(config)
+    num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern, config,
+                            acc_rob=acc_r if robustness_denoise else None)
 
     image = num / den
 

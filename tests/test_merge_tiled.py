@@ -95,3 +95,64 @@ def test_interior_is_exact_including_borders_when_flow_zero():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gd)[2:, 2:], np.asarray(wd)[2:, 2:],
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# merge_ref_tiled
+# ---------------------------------------------------------------------------
+
+from hmsr_tpu.models.merge import merge_ref
+from hmsr_tpu.models.merge_tiled import merge_ref_tiled
+
+
+def run_both_ref(scale, bayer, iso, seed, h=64, w=80, acc=False):
+    rng = np.random.RandomState(seed)
+    c = make_config(scale, 16, bayer, iso)
+    if acc:
+        c.accumulated_robustness_denoiser.enabled = True
+        c.accumulated_robustness_denoiser.merge.enabled = True
+    ref = rng.rand(h, w).astype(np.float32)
+    g = 2 if bayer else 1
+    gg = rng.rand(h // g, w // g, 2).astype(np.float32) + 0.3
+    covs = np.zeros((h // g, w // g, 2, 2), np.float32)
+    covs[..., 0, 0] = gg[..., 0]
+    covs[..., 1, 1] = gg[..., 1]
+    covs[..., 0, 1] = covs[..., 1, 0] = 0.2 * np.sqrt(gg[..., 0] * gg[..., 1])
+
+    n_ch = 3 if bayer else 1
+    hh, hw = scale * h, scale * w
+    num0 = jnp.asarray(rng.rand(hh, hw, n_ch).astype(np.float32))
+    den0 = jnp.asarray(rng.rand(hh, hw, n_ch).astype(np.float32))
+    acc_rob = jnp.asarray((rng.rand(h, w) * 4).astype(np.float32)) if acc else None
+
+    args = (jnp.asarray(ref), jnp.asarray(covs), num0, den0, CFA, c)
+    wn, wd = merge_ref(*args, acc_rob=acc_rob)
+    gn, gd = merge_ref_tiled(*args, acc_rob=acc_rob)
+    return map(np.asarray, (gn, gd, wn, wd))
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3])
+@pytest.mark.parametrize("iso", [False, True])
+def test_ref_matches(scale, iso):
+    gn, gd, wn, wd = run_both_ref(scale, True, iso, seed=scale * 7 + iso)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+def test_ref_grey():
+    gn, gd, wn, wd = run_both_ref(2, False, False, seed=21)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+def test_ref_acc_rob(scale):
+    gn, gd, wn, wd = run_both_ref(scale, True, False, seed=31 + scale, acc=True)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+def test_ref_nondivisible():
+    gn, gd, wn, wd = run_both_ref(2, True, False, seed=41, h=50, w=70)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)

@@ -30,6 +30,7 @@ def main():
     from hmsr_tpu.models.robustness import init_robustness, compute_robustness
     from hmsr_tpu.models.kernels import estimate_kernels
     from hmsr_tpu.models.merge import merge, merge_ref
+    from hmsr_tpu.models.pipeline import select_merge, merge_ref_banded
     from hmsr_tpu.ops.grey import fft_lowpass_grey
 
     H, W = (3000, 4000) if len(sys.argv) < 2 else map(int, sys.argv[1].split("x"))
@@ -90,10 +91,13 @@ def main():
     out_h, out_w = SCALE * H, SCALE * W
     num = jnp.zeros((out_h, out_w, 3), jnp.float32)
     den = jnp.zeros((out_h, out_w, 3), jnp.float32)
-    merge_fn = jax.jit(lambda c, f, cv, rr, n, d: merge(c, f, cv, rr, n, d, CFA, config))
+    mi = select_merge(config)
+    merge_fn = jax.jit(lambda c, f, cv, rr, n, d: mi(c, f, cv, rr, n, d, CFA, config))
     results["merge"] = timeit(merge_fn, comp_d, flow, covs, r, num, den)
 
-    mref_fn = jax.jit(lambda c, cv, n, d: merge_ref(c, cv, n, d, CFA, config))
+    from hmsr_tpu.models.pipeline import select_merge_ref
+    mr = select_merge_ref(config)
+    mref_fn = jax.jit(lambda c, cv, n, d: mr(c, cv, n, d, CFA, config))
     results["merge_ref"] = timeit(mref_fn, ref_d, covs, num, den)
 
     per_frame = (results["grey_fft"] + results["align"] + results["robustness"]
