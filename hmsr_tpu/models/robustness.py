@@ -26,6 +26,7 @@ Parity notes:
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.dogson import dogson_quadratic_kernel
@@ -124,9 +125,23 @@ def init_robustness(ref_raw, cfa_pattern, white_balance, config):
         upscale = 1
 
     means, stds = local_stats_3x3(guide)
-    hr_means, valid_m = upscale_warp_stats(means, upscale)
-    hr_stds, _ = upscale_warp_stats(stds, upscale)
+    if _use_tiled_warp(config):
+        Ts = config.block_matching.tuning.tile_size
+        out_shape = (guide.shape[1] * upscale, guide.shape[2] * upscale)
+        zero_flow = jnp.zeros((-(-out_shape[0] // Ts), -(-out_shape[1] // Ts), 2),
+                              DEFAULT_FLOAT)
+        hr_means, valid_m = upscale_warp_stats_tiled(means, upscale, Ts,
+                                                     zero_flow, out_shape)
+        hr_stds, _ = upscale_warp_stats_tiled(stds, upscale, Ts, zero_flow,
+                                              out_shape)
+    else:
+        hr_means, valid_m = upscale_warp_stats(means, upscale)
+        hr_stds, _ = upscale_warp_stats(stds, upscale)
     return RefStats(means=hr_means, stds=hr_stds, valid=valid_m)
+
+
+def _use_tiled_warp(config):
+    return config.get("tpu", {}).get("robustness_impl", "auto") != "gather"
 
 
 def apply_noise_model(d_p, ref_means, ref_stds, std_curve, diff_curve):
@@ -184,8 +199,14 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
         upscale = 1
 
     comp_means, _ = local_stats_3x3(guide)
-    comp_means, comp_valid = upscale_warp_stats(comp_means, upscale,
-                                                tile_size=tile_size, flow=flow)
+    if _use_tiled_warp(config):
+        out_shape = (guide.shape[1] * upscale, guide.shape[2] * upscale)
+        comp_means, comp_valid = upscale_warp_stats_tiled(
+            comp_means, upscale, tile_size, flow, out_shape)
+    else:
+        comp_means, comp_valid = upscale_warp_stats(comp_means, upscale,
+                                                    tile_size=tile_size,
+                                                    flow=flow)
 
     d_p = jnp.abs(ref_stats.means - comp_means)
     d_sq, sigma_sq = apply_noise_model(d_p, ref_stats.means, ref_stats.stds,
@@ -194,10 +215,115 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
     S = compute_s(flow, tun.Mt, tun.s1, tun.s2)
 
     h, w = d_sq.shape
-    ty = (jnp.arange(h) // tile_size).astype(jnp.int32)
-    tx = (jnp.arange(w) // tile_size).astype(jnp.int32)
-    s_map = S[ty[:, None], tx[None, :]]
+    # dense tile->pixel broadcast (avoids a 12MP gather)
+    s_map = jnp.repeat(jnp.repeat(S, tile_size, axis=0), tile_size, axis=1)[:h, :w]
 
     R = jnp.clip(s_map * jnp.exp(-d_sq / sigma_sq) - tun.t, 0.0, 1.0)
     R = jnp.where(ref_stats.valid & comp_valid, R, 0.0)
     return local_min_5x5(R)
+
+
+# ---------------------------------------------------------------------------
+# Tiled (gather-free) upscale-warp — the TPU fast path.
+# ---------------------------------------------------------------------------
+
+def upscale_warp_stats_tiled(stats, upscale, tile_size, flow, out_shape,
+                             band_tile_rows=8):
+    """Gather-free version of :func:`upscale_warp_stats`.
+
+    Exploits per-tile-constant flow exactly like the tiled merge: the
+    rounding staircase ``center(Y) = round((Y + fy + 0.5)/u - 0.5) =
+    (Y + floor(fy + 0.5)) // u`` turns the 3x3 Dodgson stencil into static
+    shifts of a u-times-repeated dynamic window. Tap values use edge-padded
+    statistics (the reference clamps tap indices, robustness.py:403-407);
+    tap weights use the clamped coordinates, matching the reference.
+
+    Rounding note: exact round-half-even ties (possible only for flows that
+    make ``(Y + fy + 0.5)/u`` an exact half-integer) resolve half-up here;
+    float flows from ICA make this a measure-zero event.
+
+    ``out_shape``: (H, W) raw grid. Returns ``(hr_stats (C,H,W), valid (H,W))``.
+    """
+    c, lh, lw = stats.shape
+    H, W = out_shape
+    Ts = tile_size
+    u = upscale
+    nty = -(-H // Ts)
+    ntx = -(-W // Ts)
+
+    WIN = Ts // u + 4
+    PAD = WIN + 1
+    stats_pad = jnp.pad(stats, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
+
+    y_loc = jnp.arange(Ts, dtype=jnp.int32)
+    half = jnp.float32(0.5)
+
+    def one_tile(ty, tx):
+        fx = flow[ty, tx, 0].astype(DEFAULT_FLOAT)
+        fy = flow[ty, tx, 1].astype(DEFAULT_FLOAT)
+
+        m_y = jnp.floor(fy + half).astype(jnp.int32)
+        base_y = ty * Ts + m_y
+        Sy = jnp.floor_divide(base_y, u) - 1
+        ph_y = base_y - u * (Sy + 1)
+        m_x = jnp.floor(fx + half).astype(jnp.int32)
+        base_x = tx * Ts + m_x
+        Sx = jnp.floor_divide(base_x, u) - 1
+        ph_x = base_x - u * (Sx + 1)
+
+        Syc = jnp.clip(Sy, -PAD, lh + PAD - WIN)
+        Sxc = jnp.clip(Sx, -PAD, lw + PAD - WIN)
+        ok_tile = (Syc == Sy) & (Sxc == Sx)
+
+        win = jax.lax.dynamic_slice(stats_pad, (0, Syc + PAD, Sxc + PAD),
+                                    (c, WIN, WIN))
+        up = jnp.repeat(jnp.repeat(win, u, axis=1), u, axis=2)
+        U = jax.lax.dynamic_slice(up, (0, ph_y, ph_x),
+                                  (c, Ts + 2 * u, Ts + 2 * u))
+
+        center_y = (Sy + 1) + (y_loc + ph_y) // u       # (Ts,) global LR rows
+        center_x = (Sx + 1) + (y_loc + ph_x) // u
+
+        Yg = (ty * Ts + y_loc).astype(DEFAULT_FLOAT)
+        Xg = (tx * Ts + y_loc).astype(DEFAULT_FLOAT)
+        lr_y = (Yg + fy + half) / u - half
+        lr_x = (Xg + fx + half) / u - half
+        valid = ((lr_y >= 0) & (lr_y < lh))[:, None] & \
+                ((lr_x >= 0) & (lr_x < lw))[None, :] & ok_tile
+
+        acc = jnp.zeros((c, Ts, Ts), DEFAULT_FLOAT)
+        w_acc = jnp.zeros((Ts, Ts), DEFAULT_FLOAT)
+        for i in (-1, 0, 1):
+            yc = jnp.clip(center_y + i, 0, lh - 1).astype(DEFAULT_FLOAT)
+            wy = dogson_quadratic_kernel(yc - lr_y)[:, None]
+            for j in (-1, 0, 1):
+                xc = jnp.clip(center_x + j, 0, lw - 1).astype(DEFAULT_FLOAT)
+                wgt = wy * dogson_quadratic_kernel(xc - lr_x)[None, :]
+                v = U[:, u * (i + 1):u * (i + 1) + Ts,
+                      u * (j + 1):u * (j + 1) + Ts]
+                acc = acc + v * wgt[None]
+                w_acc = w_acc + wgt
+        return acc / w_acc[None], valid
+
+    tile_cols = jnp.arange(ntx, dtype=jnp.int32)
+
+    def tile_row(ty):
+        v, m = jax.vmap(lambda tx: one_tile(ty, tx))(tile_cols)
+        v = jnp.transpose(v, (1, 2, 0, 3)).reshape(c, Ts, ntx * Ts)
+        m = jnp.transpose(m, (1, 0, 2)).reshape(Ts, ntx * Ts)
+        return v, m
+
+    def band(ty0):
+        tys = ty0 + jnp.arange(band_tile_rows, dtype=jnp.int32)
+        v, m = jax.vmap(tile_row)(tys)
+        return (jnp.transpose(v, (1, 0, 2, 3)).reshape(
+                    c, band_tile_rows * Ts, ntx * Ts),
+                m.reshape(band_tile_rows * Ts, ntx * Ts))
+
+    n_bands = -(-nty // band_tile_rows)
+    starts = jnp.arange(n_bands, dtype=jnp.int32) * band_tile_rows
+    v, m = jax.lax.map(band, starts)
+    v = jnp.transpose(v, (1, 0, 2, 3)).reshape(c, n_bands * band_tile_rows * Ts,
+                                               ntx * Ts)
+    m = m.reshape(n_bands * band_tile_rows * Ts, ntx * Ts)
+    return v[:, :H, :W], m[:H, :W]
