@@ -103,7 +103,8 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     # ---- reference init (amortized across the whole burst)
     ref_grey = fft_lowpass_grey(ref_img) if bayer else ref_img
     align_state = init_alignment(ref_grey, config)
-    ref_stats = init_robustness(ref_img, cfa_pattern, white_balance, config)
+    ref_stats = init_robustness(ref_img, cfa_pattern, white_balance,
+                                (std_curve, diff_curve), config)
 
     h, w = ref_img.shape
     out_h, out_w = round(scale * h), round(scale * w)
@@ -120,7 +121,7 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         grey = fft_lowpass_grey(frame) if bayer else frame
         flow = align(align_state, grey, config)
         r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
-                               white_balance, noise_curves, config)
+                               white_balance, config)
         if acc_r is not None:
             acc_r = acc_r + r
         covs = estimate_kernels(frame, config)

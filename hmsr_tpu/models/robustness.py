@@ -35,9 +35,16 @@ from ..utils.types import DEFAULT_FLOAT
 
 
 class RefStats(NamedTuple):
-    """Reference-frame local statistics, upscaled to the raw grid."""
+    """Reference-frame statistics, upscaled to the raw grid.
+
+    The noise-model terms depend only on the reference frame, so the LUT
+    lookups and the sigma^2 reduction are precomputed once per burst (the
+    reference re-evaluates them per frame, robustness.py:504-533 — identical
+    values).
+    """
     means: jnp.ndarray     # (C, H, W)
-    stds: jnp.ndarray      # (C, H, W) — local *variances* sigma^2, like the ref
+    d_t: jnp.ndarray       # (C, H, W) — diff-curve value at the local mean
+    sigma_sq: jnp.ndarray  # (H, W) — sum_c max(local var, sigma_t^2)
     valid: jnp.ndarray     # (H, W) bool — False where the warp left the grid
 
 
@@ -111,8 +118,8 @@ def upscale_warp_stats(stats, upscale, tile_size=None, flow=None):
     return acc / w_acc[None], valid
 
 
-def init_robustness(ref_raw, cfa_pattern, white_balance, config):
-    """Local statistics of the reference frame, upscaled to the raw grid."""
+def init_robustness(ref_raw, cfa_pattern, white_balance, noise_curves, config):
+    """Reference-frame statistics + precomputed noise-model terms."""
     if not config.robustness.enabled:
         return None
 
@@ -137,7 +144,14 @@ def init_robustness(ref_raw, cfa_pattern, white_balance, config):
     else:
         hr_means, valid_m = upscale_warp_stats(means, upscale)
         hr_stds, _ = upscale_warp_stats(stds, upscale)
-    return RefStats(means=hr_means, stds=hr_stds, valid=valid_m)
+
+    std_curve, diff_curve = noise_curves
+    idx = jnp.clip(jnp.round(1000.0 * hr_means), 0, std_curve.shape[0] - 1
+                   ).astype(jnp.int32)
+    d_t = diff_curve[idx]
+    sigma_t = std_curve[idx]
+    sigma_sq = jnp.sum(jnp.maximum(hr_stds, sigma_t * sigma_t), axis=0)
+    return RefStats(means=hr_means, d_t=d_t, sigma_sq=sigma_sq, valid=valid_m)
 
 
 def _use_tiled_warp(config):
@@ -181,7 +195,7 @@ def compute_s(flow, m_th, s1, s2):
 
 
 def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
-                       noise_curves, config):
+                       config):
     """Robustness map r of the compared frame, at raw resolution (Alg. 6)."""
     if not config.robustness.enabled:
         return jnp.ones(comp_img.shape, DEFAULT_FLOAT)
@@ -189,7 +203,6 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
     bayer = config.mode == "bayer"
     tile_size = config.block_matching.tuning.tile_size
     tun = config.robustness.tuning
-    std_curve, diff_curve = noise_curves
 
     if bayer:
         guide = compute_guide_image(comp_img, cfa_pattern, white_balance)
@@ -209,8 +222,11 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
                                                     flow=flow)
 
     d_p = jnp.abs(ref_stats.means - comp_means)
-    d_sq, sigma_sq = apply_noise_model(d_p, ref_stats.means, ref_stats.stds,
-                                       std_curve, diff_curve)
+    d_t = ref_stats.d_t
+    d_p_sq = d_p * d_p
+    shrink = d_p_sq / (d_p_sq + d_t * d_t)
+    d_sq = jnp.sum(d_p_sq * shrink * shrink, axis=0)
+    sigma_sq = ref_stats.sigma_sq
 
     S = compute_s(flow, tun.Mt, tun.s1, tun.s2)
 

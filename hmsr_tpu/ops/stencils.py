@@ -38,14 +38,21 @@ def local_stats_3x3(img):
 
 
 def local_min_5x5(img):
-    """Clamped-boundary 5x5 local minimum (Alg. 9, robustness.py:669-687)."""
-    p = _edge_pad(img, 2)
+    """Clamped-boundary 5x5 local minimum (Alg. 9, robustness.py:669-687).
+
+    Separable (min of mins): 5 + 5 shifted-slice passes instead of 25.
+    """
     h, w = img.shape[-2], img.shape[-1]
-    out = None
+    p = _edge_pad(img, 2, axes=(-2,))
+    rows = None
     for i in range(5):
-        for j in range(5):
-            v = p[..., i:i + h, j:j + w]
-            out = v if out is None else jnp.minimum(out, v)
+        v = p[..., i:i + h, :]
+        rows = v if rows is None else jnp.minimum(rows, v)
+    p = _edge_pad(rows, 2, axes=(-1,))
+    out = None
+    for j in range(5):
+        v = p[..., :, j:j + w]
+        out = v if out is None else jnp.minimum(out, v)
     return out
 
 

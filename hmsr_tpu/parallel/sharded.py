@@ -81,7 +81,8 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
 
         ref_grey = fft_lowpass_grey(ref_img) if bayer else ref_img
         align_state = init_alignment(ref_grey, config)
-        ref_stats = init_robustness(ref_img, cfa, wb, config)
+        ref_stats = init_robustness(ref_img, cfa, wb, (std_curve, diff_curve),
+                                    config)
 
         h, w = ref_img.shape
         out_h, out_w = round(scale * h), round(scale * w)
@@ -105,8 +106,7 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
             frame, weight = xs
             grey = fft_lowpass_grey(frame) if bayer else frame
             flow = align(align_state, grey, config)
-            r = compute_robustness(frame, ref_stats, flow, cfa, wb,
-                                   (std_curve, diff_curve), config)
+            r = compute_robustness(frame, ref_stats, flow, cfa, wb, config)
             r = r * weight          # zero-weight padding frames contribute nothing
             if acc_r is not None:
                 acc_r = acc_r + r

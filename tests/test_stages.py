@@ -79,10 +79,10 @@ class TestRobustness:
         std, diff = rand_curves(rng)
 
         c = make_config(scale=1, ts=ts)
-        stats = rob.init_robustness(jnp.asarray(ref_raw), CFA, WB, c)
+        stats = rob.init_robustness(jnp.asarray(ref_raw), CFA, WB,
+                                    (jnp.asarray(std), jnp.asarray(diff)), c)
         got = np.asarray(rob.compute_robustness(
-            jnp.asarray(comp_raw), stats, jnp.asarray(flow), CFA, WB,
-            (jnp.asarray(std), jnp.asarray(diff)), c))
+            jnp.asarray(comp_raw), stats, jnp.asarray(flow), CFA, WB, c))
 
         ref_guide = oracle.guide_image(ref_raw, CFA, WB)
         from oracles import numpy_ops
@@ -99,8 +99,7 @@ class TestRobustness:
         c = make_config()
         c.robustness.enabled = False
         c.robustness.save_mask = False
-        out = rob.compute_robustness(jnp.zeros((8, 8)), None, None, CFA, WB,
-                                     (None, None), c)
+        out = rob.compute_robustness(jnp.zeros((8, 8)), None, None, CFA, WB, c)
         np.testing.assert_array_equal(np.asarray(out), 1.0)
 
 

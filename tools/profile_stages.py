@@ -75,12 +75,12 @@ def main():
     results["align"] = timeit(align_fn, astate, comp_grey)
     flow = align_fn(astate, comp_grey)
 
-    init_rob_fn = jax.jit(lambda im: init_robustness(im, CFA, WB, config))
+    init_rob_fn = jax.jit(lambda im: init_robustness(im, CFA, WB, (std_d, diff_d), config))
     results["init_robustness"] = timeit(init_rob_fn, ref_d)
     rstats = init_rob_fn(ref_d)
 
     rob_fn = jax.jit(lambda im, st, fl: compute_robustness(
-        im, st, fl, CFA, WB, (std_d, diff_d), config))
+        im, st, fl, CFA, WB, config))
     results["robustness"] = timeit(rob_fn, comp_d, rstats, flow)
     r = rob_fn(comp_d, rstats, flow)
 
