@@ -52,8 +52,11 @@ def _compute_k(l1, l2, k_detail, k_denoise, d_th, d_tr, k_stretch, k_shrink,
 def estimate_kernels(img, config):
     """Covariance matrices Omega, sampled at every grey-grid pixel.
 
-    Returns (gh, gw, 2, 2) where the grey grid is the half-res Bayer-quad grid
-    in bayer mode and the raw grid in grey mode.
+    Returns the symmetric components stacked channel-first, shape
+    (3, gh, gw) = (xx, xy, yy), where the grey grid is the half-res
+    Bayer-quad grid in bayer mode and the raw grid in grey mode.
+    (Channel-first component layout: TPU tiling applies to the minor-most
+    two dims, so a trailing (2, 2) matrix layout would pad 2 -> (8, 128).)
     """
     bayer = config.mode == "bayer"
     mt = config.merging.tuning
@@ -90,6 +93,4 @@ def estimate_kernels(img, config):
     c01 = k1_sq * e10 * e11 + k2_sq * e20 * e21
     c11 = k1_sq * e11 * e11 + k2_sq * e21 * e21
 
-    covs = jnp.stack([jnp.stack([c00, c01], -1),
-                      jnp.stack([c01, c11], -1)], -2)
-    return covs.astype(DEFAULT_FLOAT)
+    return jnp.stack([c00, c01, c11]).astype(DEFAULT_FLOAT)

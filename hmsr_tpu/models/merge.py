@@ -1,6 +1,10 @@
 """Kernel-regression merge accumulation (Alg. 4) and reference-frame merge
 (Alg. 11).
 
+Array layout: num/den are channel-first (c, H*s, W*s) and covariances are
+component-stacked (3, gh, gw) — TPU tiling applies to the minor-most two
+dims, so trailing size-3 / (2, 2) dims would pad to (8, 128) tiles.
+
 Rebuild of reference merge.py. The reference dedicates one CUDA thread per
 high-resolution output pixel (merge.py:290-434); here the same gather
 formulation is evaluated as a vectorized program over the full HR grid —
@@ -43,7 +47,8 @@ def _cfa_channel(i, j, cfa_pattern):
 def _interp_cov(covs, kmap_i, kmap_j, trunc_floor=True):
     """Clipping bilinear interpolation of the covariance field.
 
-    ``covs``: (gh, gw, 2, 2); ``kmap``: fractional grey-grid coordinates.
+    ``covs``: component-stacked (3, gh, gw) = (xx, xy, yy);
+    ``kmap``: fractional grey-grid coordinates.
     Returns components (xx, xy, yy). Fractions follow ``math.modf`` semantics
     (signed, truncation-based) like both reference paths; the lower index is
     truncated then clamped at 0 — the reference's non-ref path truncates
@@ -51,7 +56,7 @@ def _interp_cov(covs, kmap_i, kmap_j, trunc_floor=True):
     coordinates are always >= -1 both give the same clamped index.
     """
     del trunc_floor
-    gh, gw = covs.shape[0], covs.shape[1]
+    gh, gw = covs.shape[1], covs.shape[2]
     iy = jnp.trunc(kmap_i)
     ix = jnp.trunc(kmap_j)
     frac_y = kmap_i - iy
@@ -66,11 +71,11 @@ def _interp_cov(covs, kmap_i, kmap_j, trunc_floor=True):
         return a + t * (b - a)
 
     out = []
-    for (ai, aj) in ((0, 0), (0, 1), (1, 1)):
-        tr = covs[fy, fx, ai, aj]
-        tl = covs[fy, cx, ai, aj]
-        br = covs[cy, fx, ai, aj]
-        bl = covs[cy, cx, ai, aj]
+    for k in range(3):
+        tr = covs[k, fy, fx]
+        tl = covs[k, fy, cx]
+        br = covs[k, cy, fx]
+        bl = covs[k, cy, cx]
         top = lerp2(tr, tl, frac_x)
         bot = lerp2(br, bl, frac_x)
         out.append(lerp2(top, bot, frac_y))
@@ -89,7 +94,7 @@ def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config, row_offset=0):
     tile_size = config.block_matching.tuning.tile_size
 
     lr_h, lr_w = comp_img.shape
-    hr_h, hr_w, n_ch = num.shape
+    n_ch, hr_h, hr_w = num.shape
 
     hr_i = (jnp.arange(hr_h) + row_offset).astype(DEFAULT_FLOAT)[:, None]
     hr_j = jnp.arange(hr_w, dtype=DEFAULT_FLOAT)[None, :]
@@ -164,8 +169,8 @@ def merge(comp_img, flow, covs, r, num, den, cfa_pattern, config, row_offset=0):
                 vals[0] = vals[0] + w * c
                 accs[0] = accs[0] + w
 
-    return (num + jnp.stack(vals, axis=-1),
-            den + jnp.stack(accs, axis=-1))
+    return (num + jnp.stack(vals, axis=0),
+            den + jnp.stack(accs, axis=0))
 
 
 def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None,
@@ -187,7 +192,7 @@ def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None,
         max_frame_count = 0.0
 
     in_h, in_w = ref_img.shape
-    hr_h, hr_w, n_ch = num.shape
+    n_ch, hr_h, hr_w = num.shape
 
     hr_i = (jnp.arange(hr_h) + row_offset).astype(DEFAULT_FLOAT)[:, None]
     hr_j = jnp.arange(hr_w, dtype=DEFAULT_FLOAT)[None, :]
@@ -251,10 +256,10 @@ def merge_ref(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None,
                 vals[0] = vals[0] + w * c
                 accs[0] = accs[0] + w
 
-    val = jnp.stack(vals, axis=-1)
-    acc = jnp.stack(accs, axis=-1)
+    val = jnp.stack(vals, axis=0)
+    acc = jnp.stack(accs, axis=0)
     if robustness_denoise:
-        overwrite = (local_acc_r < max_frame_count)[..., None]
+        overwrite = (local_acc_r < max_frame_count)[None]
         new_num = jnp.where(overwrite, val, num + val)
         new_den = jnp.where(overwrite, acc, den + acc)
         return new_num, new_den

@@ -58,7 +58,7 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     cfa = _cfa_lut(cfa_pattern)
 
     H, W = comp_img.shape
-    out_h, out_w, n_ch = num.shape
+    n_ch, out_h, out_w = num.shape
     B = Ts * s
     nty = -(-out_h // B)
     ntx = -(-out_w // B)
@@ -67,7 +67,7 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     WIN = Ts + 4                    # comp window side
     CWIN = Ts // g + 4              # cov window side
     PAD = WIN + 1
-    gh, gw = covs.shape[0], covs.shape[1]
+    gh, gw = covs.shape[1], covs.shape[2]
 
     comp_pad = jnp.pad(comp_img, ((PAD, PAD), (PAD, PAD)))
     # Edge padding implements the reference's index clamping on the cov grid.
@@ -77,8 +77,7 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     # interpolating our cell [-1,0] with extrapolated corners reproduces that
     # patch exactly (a bilinear patch is determined by its corners).
     CPAD = CWIN + 1
-    cov_comp = jnp.stack([covs[..., 0, 0], covs[..., 0, 1], covs[..., 1, 1]])
-    cov_pad = jnp.pad(cov_comp, ((0, 0), (CPAD, CPAD), (CPAD, CPAD)), mode="edge")
+    cov_pad = jnp.pad(covs, ((0, 0), (CPAD, CPAD), (CPAD, CPAD)), mode="edge")
     cov_pad = cov_pad.at[:, CPAD - 1, :].set(
         2.0 * cov_pad[:, CPAD, :] - cov_pad[:, CPAD + 1, :])
     cov_pad = cov_pad.at[:, :, CPAD - 1].set(
@@ -215,29 +214,31 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
                     vals[0] = vals[0] + w * c
                     accs[0] = accs[0] + w
 
-        return jnp.stack(vals, -1), jnp.stack(accs, -1)   # (B, B, n_ch)
+        return jnp.stack(vals, 0), jnp.stack(accs, 0)   # (n_ch, B, B)
 
     tile_cols = jnp.arange(ntx, dtype=jnp.int32)
 
     def tile_row(ty):
         v, a = jax.vmap(lambda tx: one_tile(ty, tx))(tile_cols)
-        # (ntx, B, B, c) -> (B, ntx*B, c)
-        v = jnp.transpose(v, (1, 0, 2, 3)).reshape(B, ntx * B, n_ch)
-        a = jnp.transpose(a, (1, 0, 2, 3)).reshape(B, ntx * B, n_ch)
+        # (ntx, c, B, B) -> (c, B, ntx*B)
+        v = jnp.transpose(v, (1, 2, 0, 3)).reshape(n_ch, B, ntx * B)
+        a = jnp.transpose(a, (1, 2, 0, 3)).reshape(n_ch, B, ntx * B)
         return v, a
 
     def band(ty0):
         tys = ty0 + jnp.arange(_BAND_TILE_ROWS, dtype=jnp.int32)
-        v, a = jax.vmap(tile_row)(tys)
-        return v.reshape(_BAND_TILE_ROWS * B, ntx * B, n_ch), \
-            a.reshape(_BAND_TILE_ROWS * B, ntx * B, n_ch)
+        v, a = jax.vmap(tile_row)(tys)          # (bt, c, B, ntx*B)
+        return (jnp.transpose(v, (1, 0, 2, 3)).reshape(
+                    n_ch, _BAND_TILE_ROWS * B, ntx * B),
+                jnp.transpose(a, (1, 0, 2, 3)).reshape(
+                    n_ch, _BAND_TILE_ROWS * B, ntx * B))
 
     n_bands = -(-nty // _BAND_TILE_ROWS)
     band_starts = jnp.arange(n_bands, dtype=jnp.int32) * _BAND_TILE_ROWS
-    v, a = jax.lax.map(band, band_starts)
-    v = v.reshape(n_bands * _BAND_TILE_ROWS * B, ntx * B, n_ch)
-    a = a.reshape(n_bands * _BAND_TILE_ROWS * B, ntx * B, n_ch)
-    return num + v[:out_h, :out_w], den + a[:out_h, :out_w]
+    v, a = jax.lax.map(band, band_starts)       # (nb, c, bt*B, ntx*B)
+    v = jnp.transpose(v, (1, 0, 2, 3)).reshape(n_ch, -1, ntx * B)
+    a = jnp.transpose(a, (1, 0, 2, 3)).reshape(n_ch, -1, ntx * B)
+    return num + v[:, :out_h, :out_w], den + a[:, :out_h, :out_w]
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +354,7 @@ def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
         max_frame_count = 0.0
 
     H, W = ref_img.shape
-    out_h, out_w, n_ch = num.shape
+    n_ch, out_h, out_w = num.shape
 
     taps = list(range(-rad_max, rad_max + 1))
     rows = _resample_nn(ref_img, s, out_h, taps, axis=0, pad_mode="zero")
@@ -375,7 +376,7 @@ def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
     pos_x = (jnp.arange(out_w, dtype=DEFAULT_FLOAT) / s)[None, :]
 
     if not iso:
-        cov_comp = jnp.stack([covs[..., 0, 0], covs[..., 0, 1], covs[..., 1, 1]])
+        cov_comp = covs
         if bayer:
             # grey_pos = (R/s - 0.5)/2 ; floor = (R + floor(-s/2...)) // (2s)
             period = 2 * s
@@ -456,10 +457,10 @@ def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
                 vals[0] = vals[0] + w * c
                 accs[0] = accs[0] + w
 
-    val = jnp.stack(vals, -1)
-    acc = jnp.stack(accs, -1)
+    val = jnp.stack(vals, 0)
+    acc = jnp.stack(accs, 0)
     if robustness_denoise:
-        overwrite = (local_acc_r < max_frame_count)[..., None]
+        overwrite = (local_acc_r < max_frame_count)[None]
         return (jnp.where(overwrite, val, num + val),
                 jnp.where(overwrite, acc, den + acc))
     return num + val, den + acc

@@ -62,23 +62,23 @@ def merge_ref_banded(ref_img, covs, num, den, cfa_pattern, config,
     Mathematically identical to :func:`merge_ref`; the banding only bounds the
     size of the materialized gather intermediates at 48MP outputs.
     """
-    out_h = num.shape[0]
+    n_ch, out_h, out_w = num.shape
     band_rows = min(band_rows, out_h)
     n_bands = -(-out_h // band_rows)
     pad_h = n_bands * band_rows
 
     def one_band(start):
-        nb = jax.lax.dynamic_slice_in_dim(num_p, start, band_rows, 0)
-        db = jax.lax.dynamic_slice_in_dim(den_p, start, band_rows, 0)
+        nb = jax.lax.dynamic_slice_in_dim(num_p, start, band_rows, 1)
+        db = jax.lax.dynamic_slice_in_dim(den_p, start, band_rows, 1)
         return merge_ref(ref_img, covs, nb, db, cfa_pattern, config,
                          acc_rob=acc_rob, row_offset=start)
 
-    num_p = jnp.pad(num, ((0, pad_h - out_h), (0, 0), (0, 0)))
-    den_p = jnp.pad(den, ((0, pad_h - out_h), (0, 0), (0, 0)))
+    num_p = jnp.pad(num, ((0, 0), (0, pad_h - out_h), (0, 0)))
+    den_p = jnp.pad(den, ((0, 0), (0, pad_h - out_h), (0, 0)))
     starts = jnp.arange(n_bands, dtype=jnp.int32) * band_rows
-    nb, db = jax.lax.map(one_band, starts)
-    nb = nb.reshape(pad_h, *num.shape[1:])[:out_h]
-    db = db.reshape(pad_h, *den.shape[1:])[:out_h]
+    nb, db = jax.lax.map(one_band, starts)      # (nb, c, band, W)
+    nb = jnp.transpose(nb, (1, 0, 2, 3)).reshape(n_ch, pad_h, out_w)[:, :out_h]
+    db = jnp.transpose(db, (1, 0, 2, 3)).reshape(n_ch, pad_h, out_w)[:, :out_h]
     return nb, db
 
 
@@ -109,8 +109,9 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     h, w = ref_img.shape
     out_h, out_w = round(scale * h), round(scale * w)
     n_ch = 3 if bayer else 1
-    num = jnp.zeros((out_h, out_w, n_ch), DEFAULT_FLOAT)
-    den = jnp.zeros((out_h, out_w, n_ch), DEFAULT_FLOAT)
+    # channel-first accumulators: TPU tiling pads minor-most dims to (8, 128)
+    num = jnp.zeros((n_ch, out_h, out_w), DEFAULT_FLOAT)
+    den = jnp.zeros((n_ch, out_h, out_w), DEFAULT_FLOAT)
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
     noise_curves = (std_curve, diff_curve)
@@ -137,7 +138,7 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern, config,
                             acc_rob=acc_r if robustness_denoise else None)
 
-    image = num / den
+    image = jnp.transpose(num / den, (1, 2, 0))    # -> (H*s, W*s, c)
 
     debug = {}
     if debug_mode and ys is not None:

@@ -94,9 +94,9 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         # mark the initial carries as device-varying over both mesh axes so
         # the scan carry type matches its (frame- and offset-dependent) output
         vary = ("frames", "space")
-        num = jax.lax.pcast(jnp.zeros((block, out_w, n_ch), DEFAULT_FLOAT), vary,
+        num = jax.lax.pcast(jnp.zeros((n_ch, block, out_w), DEFAULT_FLOAT), vary,
                             to="varying")
-        den = jax.lax.pcast(jnp.zeros((block, out_w, n_ch), DEFAULT_FLOAT), vary,
+        den = jax.lax.pcast(jnp.zeros((n_ch, block, out_w), DEFAULT_FLOAT), vary,
                             to="varying")
         acc_r = jax.lax.pcast(jnp.zeros((h, w), DEFAULT_FLOAT), vary,
                               to="varying") if accumulate_r else None
@@ -128,7 +128,7 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         num, den = merge_ref(ref_img, ref_covs, num, den, cfa, config,
                              acc_rob=acc_r if robustness_denoise else None,
                              row_offset=row_offset)
-        return num / den
+        return jnp.transpose(num / den, (1, 2, 0))
 
     sharded = shard_map(
         body, mesh=mesh,

@@ -38,10 +38,12 @@ def run_both(scale, ts, bayer, iso, seed, h=64, w=80, flow_scale=5.0):
 
     n_ch = 3 if bayer else 1
     hh, hw = scale * h, scale * w
-    num0 = jnp.asarray(rng.rand(hh, hw, n_ch).astype(np.float32))
-    den0 = jnp.asarray(rng.rand(hh, hw, n_ch).astype(np.float32))
+    num0 = jnp.asarray(rng.rand(n_ch, hh, hw).astype(np.float32))
+    den0 = jnp.asarray(rng.rand(n_ch, hh, hw).astype(np.float32))
+    cov_c = jnp.asarray(np.stack([covs[..., 0, 0], covs[..., 0, 1],
+                                  covs[..., 1, 1]]))
 
-    args = (jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(covs),
+    args = (jnp.asarray(comp), jnp.asarray(flow), cov_c,
             jnp.asarray(r), num0, den0, CFA, c)
     want_n, want_d = merge(*args)
     got_n, got_d = merge_tiled(*args)
@@ -83,17 +85,18 @@ def test_interior_is_exact_including_borders_when_flow_zero():
     comp = rng.rand(h, w).astype(np.float32)
     flow = np.zeros((2, 2, 2), np.float32)
     r = np.ones((h, w), np.float32)
-    covs = np.tile((np.eye(2) * 0.8).astype(np.float32), (16, 16, 1, 1))
-    num0 = jnp.zeros((64, 64, 3))
-    den0 = jnp.zeros((64, 64, 3))
-    args = (jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(covs),
+    cov_c = jnp.asarray(np.stack([np.full((16, 16), 0.8, np.float32),
+                                  np.zeros((16, 16), np.float32),
+                                  np.full((16, 16), 0.8, np.float32)]))
+    num0 = jnp.zeros((3, 64, 64))
+    den0 = jnp.zeros((3, 64, 64))
+    args = (jnp.asarray(comp), jnp.asarray(flow), cov_c,
             jnp.asarray(r), num0, den0, CFA, c)
     wn, wd = merge(*args)
     gn, gd = merge_tiled(*args)
-    # rows >= 2 are beyond any kmap<0 region at scale 2
-    np.testing.assert_allclose(np.asarray(gn)[2:, 2:], np.asarray(wn)[2:, 2:],
+    np.testing.assert_allclose(np.asarray(gn)[:, 2:, 2:], np.asarray(wn)[:, 2:, 2:],
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gd)[2:, 2:], np.asarray(wd)[2:, 2:],
+    np.testing.assert_allclose(np.asarray(gd)[:, 2:, 2:], np.asarray(wd)[:, 2:, 2:],
                                atol=1e-5)
 
 
@@ -121,11 +124,13 @@ def run_both_ref(scale, bayer, iso, seed, h=64, w=80, acc=False):
 
     n_ch = 3 if bayer else 1
     hh, hw = scale * h, scale * w
-    num0 = jnp.asarray(rng.rand(hh, hw, n_ch).astype(np.float32))
-    den0 = jnp.asarray(rng.rand(hh, hw, n_ch).astype(np.float32))
+    num0 = jnp.asarray(rng.rand(n_ch, hh, hw).astype(np.float32))
+    den0 = jnp.asarray(rng.rand(n_ch, hh, hw).astype(np.float32))
     acc_rob = jnp.asarray((rng.rand(h, w) * 4).astype(np.float32)) if acc else None
+    cov_c = jnp.asarray(np.stack([covs[..., 0, 0], covs[..., 0, 1],
+                                  covs[..., 1, 1]]))
 
-    args = (jnp.asarray(ref), jnp.asarray(covs), num0, den0, CFA, c)
+    args = (jnp.asarray(ref), cov_c, num0, den0, CFA, c)
     wn, wd = merge_ref(*args, acc_rob=acc_rob)
     gn, gd = merge_ref_tiled(*args, acc_rob=acc_rob)
     return map(np.asarray, (gn, gd, wn, wd))

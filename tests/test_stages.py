@@ -109,7 +109,9 @@ class TestKernels:
         rng = np.random.RandomState(4)
         raw = rng.rand(16, 16).astype(np.float32)
         c = make_config(law=law)
-        got = np.asarray(estimate_kernels(jnp.asarray(raw), c))
+        comp = np.asarray(estimate_kernels(jnp.asarray(raw), c))
+        got = np.stack([np.stack([comp[0], comp[1]], -1),
+                        np.stack([comp[1], comp[2]], -1)], -2)
         mt = {k: c.merging.tuning[k] for k in
               ("k_detail", "k_denoise", "D_th", "D_tr", "k_stretch", "k_shrink")}
         want = oracle.estimate_kernels(raw.astype(np.float64),
@@ -121,9 +123,15 @@ class TestKernels:
         c = make_config()
         covs = np.asarray(estimate_kernels(jnp.full((16, 16), 0.5), c))
         assert np.all(np.isfinite(covs))
-        np.testing.assert_allclose(covs[..., 0, 0], covs[..., 1, 1], rtol=1e-5)
-        np.testing.assert_allclose(covs[..., 0, 1], 0.0, atol=1e-6)
+        np.testing.assert_allclose(covs[0], covs[2], rtol=1e-5)
+        np.testing.assert_allclose(covs[1], 0.0, atol=1e-6)
 
+
+
+
+def to_components(covs_np):
+    """(h, w, 2, 2) -> component-stacked (3, h, w)."""
+    return np.stack([covs_np[..., 0, 0], covs_np[..., 0, 1], covs_np[..., 1, 1]])
 
 class TestMerge:
     @pytest.mark.parametrize("iso", [False, True])
@@ -147,8 +155,11 @@ class TestMerge:
         den0 = rng.rand(hh, hw, 3).astype(np.float32)
 
         got_n, got_d = merge(jnp.asarray(comp), jnp.asarray(flow),
-                             jnp.asarray(covs_np), jnp.asarray(r),
-                             jnp.asarray(num0), jnp.asarray(den0), CFA, c)
+                             jnp.asarray(to_components(covs_np)), jnp.asarray(r),
+                             jnp.asarray(num0.transpose(2, 0, 1)),
+                             jnp.asarray(den0.transpose(2, 0, 1)), CFA, c)
+        got_n = np.transpose(np.asarray(got_n), (1, 2, 0))
+        got_d = np.transpose(np.asarray(got_d), (1, 2, 0))
         want_n, want_d = oracle.merge(comp.astype(np.float64), flow, covs_np,
                                       r, num0.astype(np.float64),
                                       den0.astype(np.float64), CFA, scale, ts,
@@ -173,8 +184,11 @@ class TestMerge:
         num0 = rng.rand(hh, hw, 3).astype(np.float32)
         den0 = rng.rand(hh, hw, 3).astype(np.float32)
 
-        got_n, got_d = merge_ref(jnp.asarray(ref), jnp.asarray(covs_np),
-                                 jnp.asarray(num0), jnp.asarray(den0), CFA, c)
+        got_n, got_d = merge_ref(jnp.asarray(ref), jnp.asarray(to_components(covs_np)),
+                                 jnp.asarray(num0.transpose(2, 0, 1)),
+                                 jnp.asarray(den0.transpose(2, 0, 1)), CFA, c)
+        got_n = np.transpose(np.asarray(got_n), (1, 2, 0))
+        got_d = np.transpose(np.asarray(got_d), (1, 2, 0))
         want_n, want_d = oracle.merge_ref(ref.astype(np.float64), covs_np,
                                           num0.astype(np.float64),
                                           den0.astype(np.float64), CFA, scale,
@@ -198,9 +212,12 @@ class TestMerge:
         den0 = rng.rand(hh, hw, 3).astype(np.float32)
         mcfg = c.accumulated_robustness_denoiser.merge
 
-        got_n, got_d = merge_ref(jnp.asarray(ref), jnp.asarray(covs_np),
-                                 jnp.asarray(num0), jnp.asarray(den0), CFA, c,
+        got_n, got_d = merge_ref(jnp.asarray(ref), jnp.asarray(to_components(covs_np)),
+                                 jnp.asarray(num0.transpose(2, 0, 1)),
+                                 jnp.asarray(den0.transpose(2, 0, 1)), CFA, c,
                                  acc_rob=jnp.asarray(acc_rob))
+        got_n = np.transpose(np.asarray(got_n), (1, 2, 0))
+        got_d = np.transpose(np.asarray(got_d), (1, 2, 0))
         want_n, want_d = oracle.merge_ref(
             ref.astype(np.float64), covs_np, num0.astype(np.float64),
             den0.astype(np.float64), CFA, scale, bayer=True, iso=True,

@@ -89,8 +89,8 @@ def main():
     covs = kern_fn(comp_d)
 
     out_h, out_w = SCALE * H, SCALE * W
-    num = jnp.zeros((out_h, out_w, 3), jnp.float32)
-    den = jnp.zeros((out_h, out_w, 3), jnp.float32)
+    num = jnp.zeros((3, out_h, out_w), jnp.float32)
+    den = jnp.zeros((3, out_h, out_w), jnp.float32)
     mi = select_merge(config)
     merge_fn = jax.jit(lambda c, f, cv, rr, n, d: mi(c, f, cv, rr, n, d, CFA, config))
     results["merge"] = timeit(merge_fn, comp_d, flow, covs, r, num, den)
