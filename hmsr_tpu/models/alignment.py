@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.pyramid import build_gaussian_pyramid
 from .block_matching import match_l1, match_l2
-from .ica import IcaRefState, init_ica, refine_ica
+from .ica import IcaRefState, init_ica, refine_ica, refine_ica_tiled
 from ..utils.types import DEFAULT_FLOAT
 
 
@@ -108,6 +108,8 @@ def align(ref_state, moving_grey, config):
     t = config.block_matching.tuning
     n_iter = config.ica.tuning.n_iter
     backend = config.get("tpu", {}).get("correlation", "direct")
+    ica_fn = refine_ica if config.get("tpu", {}).get("ica_impl", "auto") == "gather" \
+        else refine_ica_tiled
 
     moving_pyramid = build_gaussian_pyramid(moving_grey, t.factors)
     levels = _level_tile_sizes(config)
@@ -134,6 +136,6 @@ def align(ref_state, moving_grey, config):
         else:
             raise ValueError(f"Unknown block matching metric {metric}")
 
-        flow = refine_ica(ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter)
+        flow = ica_fn(ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter)
 
     return flow

@@ -26,6 +26,7 @@ integer displacement to the unrounded flow; L1 *replaces* the flow with
 L1 windows zero-fill out-of-bounds pixels.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.stencils import box_sum_valid
@@ -33,34 +34,40 @@ from ..utils.types import DEFAULT_FLOAT
 
 
 def extract_flow_patches(moving, flow, tile_size, radius, fill=None):
-    """Gather per-tile search windows of size (ts + 2r)^2 at round(flow).
+    """Per-tile search windows of size (ts + 2r)^2 at round(flow).
 
     ``moving``: (H, W); ``flow``: (ny, nx, 2) in (x, y) order.
     ``fill=None`` clamps coordinates (reference L2 path,
     block_matching.py:348-378); a float fills out-of-bounds with that value
     (reference L1 kernels).
+
+    Gather-free: each window is a CONTIGUOUS index range, so per-pixel
+    coordinate clamping equals reading an edge-padded image (and zero fill
+    equals a zero-padded image) at a per-tile dynamic offset — one vmapped
+    dynamic_slice per tile instead of a 12MP gather.
     """
     ny, nx, _ = flow.shape
     ts, r = tile_size, radius
     search = 2 * r + ts
     h, w = moving.shape
 
-    iflow = jnp.round(flow).astype(jnp.int32)
-    top = jnp.arange(ny, dtype=jnp.int32)[:, None] * ts + iflow[..., 1]   # (ny, nx)
-    left = jnp.arange(nx, dtype=jnp.int32)[None, :] * ts + iflow[..., 0]
-
-    offs = jnp.arange(search, dtype=jnp.int32) - r
-    ys = top[:, :, None, None] + offs[None, None, :, None]
-    xs = left[:, :, None, None] + offs[None, None, None, :]
-
+    PAD = search
     if fill is None:
-        ys = jnp.clip(ys, 0, h - 1)
-        xs = jnp.clip(xs, 0, w - 1)
-        return moving[ys, xs]
-    inb = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-    ysc = jnp.clip(ys, 0, h - 1)
-    xsc = jnp.clip(xs, 0, w - 1)
-    return jnp.where(inb, moving[ysc, xsc], jnp.asarray(fill, moving.dtype))
+        pad = jnp.pad(moving, PAD, mode="edge")
+    else:
+        pad = jnp.pad(moving, PAD, constant_values=jnp.asarray(fill, moving.dtype))
+
+    iflow = jnp.round(flow).astype(jnp.int32)
+    top = jnp.arange(ny, dtype=jnp.int32)[:, None] * ts + iflow[..., 1] - r
+    left = jnp.arange(nx, dtype=jnp.int32)[None, :] * ts + iflow[..., 0] - r
+    # windows fully outside the image read pure padding after this clip
+    top = jnp.clip(top, -PAD, h) + PAD
+    left = jnp.clip(left, -PAD, w) + PAD
+
+    def one(t, l):
+        return jax.lax.dynamic_slice(pad, (t, l), (search, search))
+
+    return jax.vmap(jax.vmap(one))(top, left)
 
 
 def _direct_correlation(ref_tiles, search_area, tile_size, radius):

@@ -120,3 +120,70 @@ def refine_ica(ref_lvl, ica_state, moving, flow, tile_size, n_iter):
         return jnp.where(solvable[..., None], upd, fl)
 
     return jax.lax.fori_loop(0, n_iter, body, flow.astype(DEFAULT_FLOAT))
+
+
+def refine_ica_tiled(ref_lvl, ica_state, moving, flow, tile_size, n_iter):
+    """Gather-free ``refine_ica``: per-tile dynamic-slice bilinear windows.
+
+    The warp offset is constant within a tile (one flow per tile), so each
+    Gauss-Newton iteration reads one contiguous (ts+1)^2 window of the moving
+    image per tile (zero-padded out of bounds) instead of 4 full-image
+    gathers. Numerically identical to :func:`refine_ica`.
+    """
+    ny, nx, _ = flow.shape
+    ts = tile_size
+    h, w = moving.shape
+
+    def tiles(a):
+        return a[:ny * ts, :nx * ts].reshape(ny, ts, nx, ts).transpose(0, 2, 1, 3)
+
+    ref_c = tiles(ref_lvl)
+    gx = tiles(ica_state.gradx)
+    gy = tiles(ica_state.grady)
+
+    hs = ica_state.hessian
+    a00, a01 = hs[..., 0, 0], hs[..., 0, 1]
+    a10, a11 = hs[..., 1, 0], hs[..., 1, 1]
+    det = a00 * a11 - a01 * a10
+    solvable = jnp.abs(det) >= 1e-10
+    det_inv = jnp.where(solvable, 1.0 / jnp.where(solvable, det, 1.0), 0.0)
+
+    PAD = ts + 2
+    pad = jnp.pad(moving, PAD)
+    base_y = jnp.arange(ny, dtype=jnp.int32)[:, None] * ts     # (ny, 1)
+    base_x = jnp.arange(nx, dtype=jnp.int32)[None, :] * ts     # (1, nx)
+
+    def body(_, fl):
+        ax = fl[..., 0]
+        ay = fl[..., 1]
+        ix = jnp.trunc(ax)
+        iy = jnp.trunc(ay)
+        frac_x = (ax - ix)[..., None, None]
+        frac_y = (ay - iy)[..., None, None]
+
+        tops = jnp.clip(base_y + iy.astype(jnp.int32), -PAD, h) + PAD
+        lefts = jnp.clip(base_x + ix.astype(jnp.int32), -PAD, w) + PAD
+
+        def one(t, l):
+            return jax.lax.dynamic_slice(pad, (t, l), (ts + 1, ts + 1))
+
+        win = jax.vmap(jax.vmap(one))(tops, lefts)       # (ny, nx, ts+1, ts+1)
+        m00 = win[..., :ts, :ts]
+        m01 = win[..., :ts, 1:]
+        m10 = win[..., 1:, :ts]
+        m11 = win[..., 1:, 1:]
+
+        top = m00 + (m01 - m00) * frac_x
+        bot = m10 + (m11 - m10) * frac_x
+        interp = top + (bot - top) * frac_y
+
+        gradt = interp - ref_c
+        b0 = jnp.sum(-gx * gradt, axis=(-2, -1))
+        b1 = jnp.sum(-gy * gradt, axis=(-2, -1))
+
+        dx = det_inv * (a11 * b0 - a01 * b1)
+        dy = det_inv * (-a10 * b0 + a00 * b1)
+        upd = fl + jnp.stack([dx, dy], axis=-1)
+        return jnp.where(solvable[..., None], upd, fl)
+
+    return jax.lax.fori_loop(0, n_iter, body, flow.astype(DEFAULT_FLOAT))

@@ -19,6 +19,7 @@ Reference curve resolution preserved: 1001 float entries (BASELINE.md).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -73,13 +74,34 @@ def _interp_squared(b_array, lo, hi):
 
 
 _CACHE = {}
+_DISK_CACHE_DIR = os.environ.get("HMSR_NOISE_CACHE", "/tmp/hmsr_noise_cache")
+
+
+def _disk_cache_path(cache_key):
+    tag = "_".join(f"{v:.12g}" if isinstance(v, float) else str(v)
+                   for v in cache_key)
+    return os.path.join(_DISK_CACHE_DIR, f"curves_{tag}.npz")
 
 
 def run_fast_MC(alpha, beta, seed=0):
-    """(std_curve, diff_curve), each 1001 entries over brightness in [0, 1]."""
+    """(std_curve, diff_curve), each 1001 entries over brightness in [0, 1].
+
+    Results are cached in memory and on disk per (alpha, beta, seed) — the
+    reference regenerates curves each run (super_resolution.py:254); caching
+    by noise-model parameters was already listed as the intended improvement
+    (SURVEY.md section 5 checkpoint notes).
+    """
     cache_key = (round(float(alpha), 12), round(float(beta), 12), seed)
     if cache_key in _CACHE:
         return _CACHE[cache_key]
+    path = _disk_cache_path(cache_key)
+    try:
+        data = np.load(path)
+        out = (data["std"], data["diff"])
+        _CACHE[cache_key] = out
+        return out
+    except Exception:
+        pass
 
     xmin, xmax = get_non_linearity_bound(alpha, beta, TOL)
     n = N_BRIGHTNESS_LEVELS
@@ -89,7 +111,7 @@ def run_fast_MC(alpha, beta, seed=0):
     brightness = np.arange(n + 1) / n
     if imin > n or imin >= imax:
         sigmas, diffs = _regular_mc(brightness, alpha, beta, seed)
-        _CACHE[cache_key] = (sigmas, diffs)
+        _store(cache_key, sigmas, diffs)
         return sigmas, diffs
 
     sigmas = np.empty(n + 1)
@@ -104,8 +126,17 @@ def run_fast_MC(alpha, beta, seed=0):
     sigmas[imin:imax + 1] = _interp_squared(b_mid, sigmas[imin], sigmas[imax])
     diffs[imin:imax + 1] = _interp_squared(b_mid, diffs[imin], diffs[imax])
 
-    _CACHE[cache_key] = (sigmas, diffs)
+    _store(cache_key, sigmas, diffs)
     return sigmas, diffs
+
+
+def _store(cache_key, sigmas, diffs):
+    _CACHE[cache_key] = (sigmas, diffs)
+    try:
+        os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
+        np.savez(_disk_cache_path(cache_key), std=sigmas, diff=diffs)
+    except Exception:
+        pass
 
 
 def monte_carlo_curves(alpha, beta, seed=0):

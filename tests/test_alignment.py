@@ -161,3 +161,33 @@ class TestFullAlign:
         inner = flow[3:-3, 3:-3]
         np.testing.assert_allclose(inner[..., 0], 1.2, atol=0.2)
         np.testing.assert_allclose(inner[..., 1], -0.7, atol=0.2)
+
+
+class TestTiledICA:
+    def test_matches_gather_ica(self):
+        from hmsr_tpu.models.ica import refine_ica, refine_ica_tiled
+        import jax.numpy as jnp
+        rng = np.random.RandomState(12)
+        img = smooth_image(64, 80, seed=12)
+        mov = shifted(img, 0.7, -1.3)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        flow0 = jnp.asarray((rng.rand(4, 5, 2) * 6 - 3).astype(np.float32))
+        a = np.asarray(refine_ica(jnp.asarray(img), state, jnp.asarray(mov),
+                                  flow0, ts, n_iter=3))
+        b = np.asarray(refine_ica_tiled(jnp.asarray(img), state, jnp.asarray(mov),
+                                        flow0, ts, n_iter=3))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_matches_with_extreme_flow(self):
+        from hmsr_tpu.models.ica import refine_ica, refine_ica_tiled
+        import jax.numpy as jnp
+        img = smooth_image(32, 32, seed=13)
+        state = init_ica(jnp.asarray(img), 16)
+        flow0 = jnp.asarray(np.array([[[500.0, -700.0], [-3.9, 2.2]],
+                                      [[0.1, -0.1], [30.0, 30.0]]], np.float32))
+        a = np.asarray(refine_ica(jnp.asarray(img), state, jnp.asarray(img),
+                                  flow0, 16, n_iter=2))
+        b = np.asarray(refine_ica_tiled(jnp.asarray(img), state, jnp.asarray(img),
+                                        flow0, 16, n_iter=2))
+        np.testing.assert_allclose(a, b, atol=1e-5)

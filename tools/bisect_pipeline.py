@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Bisect which pipeline stage crashes the TPU worker at full scale.
+
+Usage: python tools/bisect_pipeline.py <stage> [HxW] [N]
+  stage in: upload, grey, align, rob, kern, merge, mergeref, all
+Each invocation builds a reduced pipeline that runs stages up to <stage>
+inside the scan and fetches a small checksum (sum) as the honest readback.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from hmsr_tpu.configs import default_config, update_snr_config, sanitize_config
+    from hmsr_tpu.models.alignment import align, init_alignment
+    from hmsr_tpu.models.robustness import compute_robustness, init_robustness
+    from hmsr_tpu.models.kernels import estimate_kernels
+    from hmsr_tpu.models.pipeline import select_merge, select_merge_ref
+    from hmsr_tpu.ops.grey import fft_lowpass_grey
+    from hmsr_tpu.utils.types import DEFAULT_FLOAT
+
+    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    H, W = map(int, (sys.argv[2] if len(sys.argv) > 2 else "3000x4000").split("x"))
+    N = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    CFA = np.array([[0, 1], [1, 2]])
+    WB = [1.0, 1.0, 1.0]
+    ALPHA, BETA = 1.8e-4, 3.0e-6
+
+    config = default_config()
+    config.scale = 2
+    config.verbose = 0
+    config.noise_model.alpha = ALPHA
+    config.noise_model.beta = BETA
+    config.accumulated_robustness_denoiser.enabled = False
+    update_snr_config(config, 56.0)
+    sanitize_config(config, (H, W))
+
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(N, H, W).astype(np.float32) * 0.8 + 0.1)
+    b = np.arange(1001) / 1000
+    std = jnp.asarray(np.sqrt(ALPHA * b + BETA).astype(np.float32))
+    diff = jnp.asarray((np.sqrt(2 / np.pi * 2 * (ALPHA * b + BETA) / 9)).astype(np.float32))
+
+    merge_fn = select_merge(config)
+    merge_ref_fn = select_merge_ref(config)
+
+    def run(ref_img, comps):
+        ref_grey = fft_lowpass_grey(ref_img)
+        astate = init_alignment(ref_grey, config) if stage not in ("upload", "grey") else None
+        rstats = init_robustness(ref_img, CFA, WB, (std, diff), config) \
+            if stage in ("rob", "kern", "merge", "mergeref", "all") else None
+
+        out_h, out_w = 2 * H, 2 * W
+        num = jnp.zeros((3, out_h, out_w), DEFAULT_FLOAT)
+        den = jnp.zeros((3, out_h, out_w), DEFAULT_FLOAT)
+
+        def step(carry, frame):
+            num, den = carry
+            acc = jnp.float32(0)
+            if stage == "upload":
+                return (num, den), jnp.sum(frame[::97, ::101])
+            grey = fft_lowpass_grey(frame)
+            if stage == "grey":
+                return (num, den), jnp.sum(grey[::97, ::101])
+            flow = align(astate, grey, config)
+            if stage == "align":
+                return (num, den), jnp.sum(flow)
+            r = compute_robustness(frame, rstats, flow, CFA, WB, config)
+            if stage == "rob":
+                return (num, den), jnp.sum(r[::97, ::101])
+            covs = estimate_kernels(frame, config)
+            if stage == "kern":
+                return (num, den), jnp.sum(covs[:, ::97, ::101])
+            num, den = merge_fn(frame, flow, covs, r, num, den, CFA, config)
+            return (num, den), jnp.sum(flow)
+
+        (num, den), ys = jax.lax.scan(step, (num, den), comps)
+        if stage in ("merge", "all", "mergeref"):
+            if stage != "merge":
+                ref_covs = estimate_kernels(ref_img, config)
+                num, den = merge_ref_fn(ref_img, ref_covs, num, den, CFA, config)
+            return jnp.sum((num / jnp.maximum(den, 1e-6))[:, ::97, ::101]) + jnp.sum(ys)
+        return jnp.sum(ys)
+
+    fn = jax.jit(run)
+    t0 = time.time()
+    out = fn(jnp.asarray(frames[0]), jnp.asarray(frames[1:]))
+    v = float(np.asarray(out))
+    print(f"stage={stage} {H}x{W} N={N}: OK {time.time()-t0:.1f}s checksum={v:.4f}",
+          flush=True)
+    # steady-state with fresh input
+    t0 = time.time()
+    out = fn(jnp.asarray(frames[0]), jnp.asarray(frames[1:]) + jnp.float32(1e-6))
+    v = float(np.asarray(out))
+    print(f"stage={stage} steady: {time.time()-t0:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
