@@ -145,17 +145,14 @@ def load_dng_burst(burst_path, mode="bayer"):
                       "The image may be mirrored or misoriented.")
 
     if np.issubdtype(ref_raw.dtype, np.integer):
-        ref_raw = ref_raw.astype(DEFAULT_NUMPY_FLOAT)
-        raw_comp = raw_comp.astype(DEFAULT_NUMPY_FLOAT)
-        for i in range(2):
-            for j in range(2):
-                channel = cfa[i, j]
-                k = white_balance[channel] / white_balance[1]
-                bl = black_levels[channel]
-                ref_raw[i::2, j::2] = (ref_raw[i::2, j::2] - bl) / (white_level - bl)
-                raw_comp[:, i::2, j::2] = (raw_comp[:, i::2, j::2] - bl) / (white_level - bl)
-                ref_raw[i::2, j::2] *= k
-                raw_comp[:, i::2, j::2] *= k
+        # multithreaded native normalization (same math as the reference's
+        # python loop, utils_dng.py:150-160), numpy fallback inside
+        from .native_loader import normalize_burst
+        stack = np.concatenate([ref_raw[None], raw_comp]).astype(np.uint16)
+        norm = normalize_burst(stack, cfa, black_levels, white_level,
+                               white_balance)
+        ref_raw = norm[0]
+        raw_comp = norm[1:]
     else:
         warnings.warn("Input DNG images are not in integer format: is the "
                       "input valid RAW data?")
