@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N_PATCHES = int(1e5)
+N_PATCHES = int(os.environ.get("HMSR_MC_PATCHES", int(1e5)))
 N_BRIGHTNESS_LEVELS = 1000
 TOL = 3
 
@@ -91,7 +91,7 @@ def run_fast_MC(alpha, beta, seed=0):
     by noise-model parameters was already listed as the intended improvement
     (SURVEY.md section 5 checkpoint notes).
     """
-    cache_key = (round(float(alpha), 12), round(float(beta), 12), seed)
+    cache_key = (round(float(alpha), 12), round(float(beta), 12), seed, N_PATCHES)
     if cache_key in _CACHE:
         return _CACHE[cache_key]
     path = _disk_cache_path(cache_key)

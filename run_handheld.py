@@ -87,6 +87,10 @@ def imsave(fname, rgb_8bit):
 
 
 def main():
+    if os.environ.get("HMSR_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, help="Path to custom config YAML")
     parser.add_argument("--impath", type=str, required=True, help="Input burst path")
