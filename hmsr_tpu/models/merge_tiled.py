@@ -233,12 +233,28 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
                 jnp.transpose(a, (1, 0, 2, 3)).reshape(
                     n_ch, _BAND_TILE_ROWS * B, ntx * B))
 
+    # Accumulate band deltas directly into the carried num/den with
+    # read-modify-write slices — never materializes full-frame delta arrays
+    # (at 48MP those alone would be >1 GB of temporaries per frame).
+    BH = _BAND_TILE_ROWS * B
     n_bands = -(-nty // _BAND_TILE_ROWS)
-    band_starts = jnp.arange(n_bands, dtype=jnp.int32) * _BAND_TILE_ROWS
-    v, a = jax.lax.map(band, band_starts)       # (nb, c, bt*B, ntx*B)
-    v = jnp.transpose(v, (1, 0, 2, 3)).reshape(n_ch, -1, ntx * B)
-    a = jnp.transpose(a, (1, 0, 2, 3)).reshape(n_ch, -1, ntx * B)
-    return num + v[:, :out_h, :out_w], den + a[:, :out_h, :out_w]
+    pad_h = n_bands * BH
+    pad_w = ntx * B
+    num_p = jnp.pad(num, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+    den_p = jnp.pad(den, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+
+    def band_body(bi, carry):
+        num_p, den_p = carry
+        v, a = band(bi * _BAND_TILE_ROWS)
+        y0 = bi * BH
+        cur_n = jax.lax.dynamic_slice(num_p, (0, y0, 0), (n_ch, BH, pad_w))
+        cur_d = jax.lax.dynamic_slice(den_p, (0, y0, 0), (n_ch, BH, pad_w))
+        num_p = jax.lax.dynamic_update_slice(num_p, cur_n + v, (0, y0, 0))
+        den_p = jax.lax.dynamic_update_slice(den_p, cur_d + a, (0, y0, 0))
+        return num_p, den_p
+
+    num_p, den_p = jax.lax.fori_loop(0, n_bands, band_body, (num_p, den_p))
+    return num_p[:, :out_h, :out_w], den_p[:, :out_h, :out_w]
 
 
 # ---------------------------------------------------------------------------
@@ -328,12 +344,15 @@ def _floor_resample(arr, period, m, n_out, taps, axis):
     return out
 
 
-def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
+def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None,
+                    band_rows=512):
     """Gather-free reference-frame accumulation; exact ``merge_ref`` semantics.
 
     With zero flow every coordinate staircase is static, so all neighborhood
     reads become phase-interleaved strided slices (pure layout ops + dense
-    math). Requires integer scale.
+    math). Row resampling is done once at full width; the column resampling
+    and accumulation run in static row bands accumulated straight into
+    num/den (bounded temporaries at 48MP outputs). Requires integer scale.
     """
     s = int(config.scale)
     assert s == config.scale and s >= 1
@@ -357,110 +376,127 @@ def merge_ref_tiled(ref_img, covs, num, den, cfa_pattern, config, acc_rob=None):
     n_ch, out_h, out_w = num.shape
 
     taps = list(range(-rad_max, rad_max + 1))
+    # full-width row resampling (cheap; the column pass is banded below)
     rows = _resample_nn(ref_img, s, out_h, taps, axis=0, pad_mode="zero")
-    ref_taps = {di: _resample_nn(rows[di], s, out_w, taps, axis=1,
-                                 pad_mode="zero")
-                for di in taps}
 
-    # global tap coordinates (for masks / parities / distances)
+    # global tap coordinates (static numpy staircases)
     P = 2 * s
     c_p = np.array([_round_half_even(p / s) for p in range(P)], np.int64)
     nq = -(-out_h // P)
-    center_y = (np.tile(c_p, nq) + np.repeat(np.arange(nq) * 2, P))[:out_h]
+    center_y_np = (np.tile(c_p, nq) + np.repeat(np.arange(nq) * 2, P))[:out_h]
     nqx = -(-out_w // P)
-    center_x = (np.tile(c_p, nqx) + np.repeat(np.arange(nqx) * 2, P))[:out_w]
-    center_y = jnp.asarray(center_y, jnp.int32)
-    center_x = jnp.asarray(center_x, jnp.int32)
+    center_x = jnp.asarray(
+        (np.tile(c_p, nqx) + np.repeat(np.arange(nqx) * 2, P))[:out_w], jnp.int32)
 
-    pos_y = (jnp.arange(out_h, dtype=DEFAULT_FLOAT) / s)[:, None]
     pos_x = (jnp.arange(out_w, dtype=DEFAULT_FLOAT) / s)[None, :]
 
     if not iso:
-        cov_comp = covs
         if bayer:
-            # grey_pos = (R/s - 0.5)/2 ; floor = (R + floor(-s/2...)) // (2s)
             period = 2 * s
             m = int(np.floor(-0.5 * s))
-            kmap_y = (pos_y - 0.5) / 2.0
-            kmap_x = (pos_x - 0.5) / 2.0
         else:
             period = s
             m = 0
-            kmap_y = pos_y
-            kmap_x = pos_x
-
-        rowc = _floor_resample(cov_comp, period, m, out_h, [0, 1], axis=1)
-        ctaps = {dy: _floor_resample(rowc[dy], period, m, out_w, [0, 1], axis=2)
-                 for dy in (0, 1)}
-
-        kfloor_y = (jnp.arange(out_h, dtype=jnp.int32) + m) // period
-        kfloor_x = (jnp.arange(out_w, dtype=jnp.int32) + m) // period
-        frac_y = (kmap_y - kfloor_y.astype(DEFAULT_FLOAT)[:, None])
-        frac_x = (kmap_x - kfloor_x.astype(DEFAULT_FLOAT)[None, :])
-
-        c00 = ctaps[0][0]
-        c01 = ctaps[0][1]
-        c10 = ctaps[1][0]
-        c11 = ctaps[1][1]
-        top = c00 + frac_x * (c01 - c00)
-        bot = c10 + frac_x * (c11 - c10)
-        cc = top + frac_y * (bot - top)
-        det = cc[0] * cc[2] - cc[1] * cc[1]
-        ok = jnp.abs(det) > 1e-10
-        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 1.0)
-        ixx = jnp.where(ok, inv_det * cc[2], 1.0)
-        ixy = jnp.where(ok, -inv_det * cc[1], 0.0)
-        iyy = jnp.where(ok, inv_det * cc[0], 1.0)
+        rowc = _floor_resample(covs, period, m, out_h, [0, 1], axis=1)
+        kfloor_x_np = (np.arange(out_w) + m) // period
+        kmap_x = ((pos_x - 0.5) / 2.0) if bayer else pos_x
+        frac_x = kmap_x - jnp.asarray(kfloor_x_np, DEFAULT_FLOAT)[None, :]
+        kfloor_y_np = (np.arange(out_h) + m) // period
 
     if robustness_denoise:
         ar_rows = _resample_nn(acc_rob, s, out_h, [0], axis=0, pad_mode="edge")[0]
-        local_acc_r = _resample_nn(ar_rows, s, out_w, [0], axis=1,
-                                   pad_mode="edge")[0]
-        power = jnp.where(local_acc_r <= max_frame_count, max_multiplier, 1.0)
-        rad = jnp.where(local_acc_r <= max_frame_count, rad_max, 1)
-    else:
-        power = 1.0
-        rad = 1
 
-    vals = [0.0] * n_ch
-    accs = [0.0] * n_ch
-    for di in taps:
-        i_g = center_y + di
-        inb_i = ((i_g >= 0) & (i_g < H))[:, None]
-        pi = (i_g % 2)[:, None]
-        dist_y = (i_g.astype(DEFAULT_FLOAT))[:, None] - pos_y
-        for dj in taps:
-            j_g = center_x + dj
-            inb = inb_i & ((j_g >= 0) & (j_g < W))[None, :]
-            if robustness_denoise:
-                inb = inb & (abs(di) <= rad) & (abs(dj) <= rad)
-            pj = (j_g % 2)[None, :]
-            dist_x = (j_g.astype(DEFAULT_FLOAT))[None, :] - pos_x
-            c = ref_taps[di][dj]
+    jg_x = center_x[None, :]
+    inb_x = ((jg_x >= 0) & (jg_x < W))
+    pj = jg_x % 2
+    dist_x_taps = {dj: (center_x + dj).astype(DEFAULT_FLOAT)[None, :] - pos_x
+                   for dj in taps}
+    inb_x_taps = {dj: ((center_x + dj) >= 0)[None, :] & ((center_x + dj) < W)[None, :]
+                  for dj in taps}
+    pj_taps = {dj: ((center_x + dj) % 2)[None, :] for dj in taps}
 
-            if iso:
-                z = jnp.maximum(0.0, 2.0 * (dist_x * dist_x + dist_y * dist_y))
-            else:
-                z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
-                    + iyy * dist_y * dist_y
-                z = jnp.maximum(z, 0.0)
-            z = z / power
-            w = jnp.exp(-0.5 * z) * inb
+    for y0 in range(0, out_h, band_rows):
+        y1 = min(y0 + band_rows, out_h)
+        bh = y1 - y0
+        pos_y = (jnp.arange(y0, y1, dtype=DEFAULT_FLOAT) / s)[:, None]
+        cy = jnp.asarray(center_y_np[y0:y1], jnp.int32)
 
-            if bayer:
-                ch = _channel_from_parity(pi, pj, cfa)
-                for k in range(n_ch):
-                    mask = (ch == k).astype(DEFAULT_FLOAT)
-                    vals[k] = vals[k] + w * c * mask
-                    accs[k] = accs[k] + w * mask
-            else:
-                vals[0] = vals[0] + w * c
-                accs[0] = accs[0] + w
+        # column resampling of this band's row taps
+        ref_taps = {di: _resample_nn(rows[di][y0:y1], s, out_w, taps, axis=1,
+                                     pad_mode="zero") for di in taps}
 
-    val = jnp.stack(vals, 0)
-    acc = jnp.stack(accs, 0)
-    if robustness_denoise:
-        overwrite = (local_acc_r < max_frame_count)[None]
-        return (jnp.where(overwrite, val, num + val),
-                jnp.where(overwrite, acc, den + acc))
-    return num + val, den + acc
+        if not iso:
+            ctaps = {dy: _floor_resample(rowc[dy][:, y0:y1], period, m, out_w,
+                                         [0, 1], axis=2) for dy in (0, 1)}
+            kmap_y = ((pos_y - 0.5) / 2.0) if bayer else pos_y
+            frac_y = kmap_y - jnp.asarray(kfloor_y_np[y0:y1],
+                                          DEFAULT_FLOAT)[:, None]
+            c00 = ctaps[0][0]
+            c01 = ctaps[0][1]
+            c10 = ctaps[1][0]
+            c11 = ctaps[1][1]
+            top = c00 + frac_x * (c01 - c00)
+            bot = c10 + frac_x * (c11 - c10)
+            cc = top + frac_y * (bot - top)
+            det = cc[0] * cc[2] - cc[1] * cc[1]
+            ok = jnp.abs(det) > 1e-10
+            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 1.0)
+            ixx = jnp.where(ok, inv_det * cc[2], 1.0)
+            ixy = jnp.where(ok, -inv_det * cc[1], 0.0)
+            iyy = jnp.where(ok, inv_det * cc[0], 1.0)
+
+        if robustness_denoise:
+            local_acc_r = _resample_nn(ar_rows[y0:y1], s, out_w, [0], axis=1,
+                                       pad_mode="edge")[0]
+            power = jnp.where(local_acc_r <= max_frame_count, max_multiplier, 1.0)
+            rad = jnp.where(local_acc_r <= max_frame_count, rad_max, 1)
+        else:
+            power = 1.0
+            rad = 1
+
+        vals = [0.0] * n_ch
+        accs = [0.0] * n_ch
+        for di in taps:
+            i_g = cy + di
+            inb_i = ((i_g >= 0) & (i_g < H))[:, None]
+            pi = (i_g % 2)[:, None]
+            dist_y = (i_g.astype(DEFAULT_FLOAT))[:, None] - pos_y
+            for dj in taps:
+                inb = inb_i & inb_x_taps[dj]
+                if robustness_denoise:
+                    inb = inb & (abs(di) <= rad) & (abs(dj) <= rad)
+                dist_x = dist_x_taps[dj]
+                c = ref_taps[di][dj]
+
+                if iso:
+                    z = jnp.maximum(0.0, 2.0 * (dist_x * dist_x + dist_y * dist_y))
+                else:
+                    z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
+                        + iyy * dist_y * dist_y
+                    z = jnp.maximum(z, 0.0)
+                z = z / power
+                w = jnp.exp(-0.5 * z) * inb
+
+                if bayer:
+                    ch = _channel_from_parity(pi, pj_taps[dj], cfa)
+                    for k in range(n_ch):
+                        mask = (ch == k).astype(DEFAULT_FLOAT)
+                        vals[k] = vals[k] + w * c * mask
+                        accs[k] = accs[k] + w * mask
+                else:
+                    vals[0] = vals[0] + w * c
+                    accs[0] = accs[0] + w
+
+        val = jnp.stack(vals, 0)
+        acc = jnp.stack(accs, 0)
+        if robustness_denoise:
+            overwrite = (local_acc_r < max_frame_count)[None]
+            num = num.at[:, y0:y1].set(
+                jnp.where(overwrite, val, num[:, y0:y1] + val))
+            den = den.at[:, y0:y1].set(
+                jnp.where(overwrite, acc, den[:, y0:y1] + acc))
+        else:
+            num = num.at[:, y0:y1].add(val)
+            den = den.at[:, y0:y1].add(acc)
+
+    return num, den
