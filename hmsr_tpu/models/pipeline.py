@@ -44,7 +44,11 @@ def _use_tiled(config):
 
 def select_merge(config):
     """Pick the merge implementation: tiled (TPU fast path) when the scale is
-    a positive integer, else the reference-layout gather path."""
+    a positive integer, else the reference-layout gather path. ``pallas``
+    selects the fused Pallas kernel (hmsr_tpu.ops.pallas_merge)."""
+    if config.get("tpu", {}).get("merge_impl", "auto") == "pallas":
+        from ..ops.pallas_merge import merge_pallas
+        return merge_pallas
     return merge_tiled if _use_tiled(config) else merge
 
 

@@ -1,0 +1,277 @@
+"""Pallas TPU kernel for the merge accumulation hot path (Alg. 4).
+
+The tiled-XLA fast path (:mod:`hmsr_tpu.models.merge_tiled`) already removed
+all gathers; this kernel additionally fuses the whole per-tile computation —
+window fetch, covariance interpolation + inversion, 3x3 kernel-regression
+accumulation — into one VMEM-resident program per HR tile group, with the
+per-tile dynamic windows fetched by explicit async DMA from HBM (the offsets
+are data-dependent on the flow, which BlockSpec index maps cannot express).
+
+Grid: one program per alignment-tile row; each program loops over the row's
+tiles, DMAs its (Ts+4)^2 comp window and (Ts/g+4)^2 covariance windows into
+VMEM scratch, and writes the (B, ntx*B) output row block. Per-tile integer
+offsets/phases are precomputed on the XLA side and passed via scalar
+prefetch. f32 throughout (parity with the reference).
+
+Layout note: per-tile blocks are (B, B) with B = Ts*s (32 for the default
+Ts=16, s=2); the kernel processes a whole tile ROW per program so stores hit
+(B, ntx*B)-wide VMEM buffers (lane-dim >= 128).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.types import DEFAULT_FLOAT
+
+
+def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
+    """Per-tile integer window offsets and phases (XLA side, tiny)."""
+    B = Ts * s
+    sg = s * g
+    fx = flow[..., 0].astype(DEFAULT_FLOAT)
+    fy = flow[..., 1].astype(DEFAULT_FLOAT)
+    ny, nx = flow.shape[:2]
+    ty = jnp.arange(ny, dtype=jnp.int32)[:, None]
+    tx = jnp.arange(nx, dtype=jnp.int32)[None, :]
+
+    def win_params(m, base0, n_img, pad, win_sz, rep):
+        base = base0 + m
+        S = jnp.floor_divide(base, rep) - 1
+        ph = base - rep * (S + 1)
+        Sc = jnp.clip(S, -pad, n_img + pad - win_sz)
+        return S, Sc, ph
+
+    m_y = jnp.floor(0.5 + s * fy).astype(jnp.int32)
+    m_x = jnp.floor(0.5 + s * fx).astype(jnp.int32)
+    Sy, Syc, ph_y = win_params(m_y, ty * B, H, PAD, WIN, s)
+    Sx, Sxc, ph_x = win_params(m_x, tx * B, W, PAD, WIN, s)
+
+    m2_y = jnp.floor(0.5 + s * fy - 0.5 * sg).astype(jnp.int32)
+    m2_x = jnp.floor(0.5 + s * fx - 0.5 * sg).astype(jnp.int32)
+    S2y, S2yc, ph2_y = win_params(m2_y, ty * B, gh, CPAD, CWIN, sg)
+    S2x, S2xc, ph2_x = win_params(m2_x, tx * B, gw, CPAD, CWIN, sg)
+
+    ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.int32)
+    # int32 param stack: (ny, nx, 14)
+    params = jnp.stack([Syc + PAD, Sxc + PAD, ph_y, ph_x,
+                        S2yc + CPAD, S2xc + CPAD, ph2_y, ph2_x,
+                        Sy + 1, Sx + 1, S2y + 1, S2x + 1, ok,
+                        jnp.zeros_like(ok)], axis=-1)
+    return params
+
+
+def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
+                 interpret=False):
+    """Pallas drop-in for ``merge_tiled`` (bayer/grey, steerable/iso)."""
+    s = int(config.scale)
+    assert s == config.scale and s >= 1
+    bayer = config.mode == "bayer"
+    iso = config.merging.kernel == "iso"
+    Ts = int(config.block_matching.tuning.tile_size)
+    g = 2 if bayer else 1
+    sg = s * g
+    cfa = np.asarray(cfa_pattern, dtype=np.int32)
+
+    H, W = comp_img.shape
+    n_ch, out_h, out_w = num.shape
+    B = Ts * s
+    nty = -(-out_h // B)
+    ntx = -(-out_w // B)
+
+    WIN = Ts + 4
+    CWIN = Ts // g + 4
+    PAD = WIN + 1
+    CPAD = CWIN + 1
+    gh, gw = covs.shape[1], covs.shape[2]
+
+    comp_pad = jnp.pad(comp_img, ((PAD, PAD), (PAD, PAD)))
+    cov_pad = jnp.pad(covs, ((0, 0), (CPAD, CPAD), (CPAD, CPAD)), mode="edge")
+    cov_pad = cov_pad.at[:, CPAD - 1, :].set(
+        2.0 * cov_pad[:, CPAD, :] - cov_pad[:, CPAD + 1, :])
+    cov_pad = cov_pad.at[:, :, CPAD - 1].set(
+        2.0 * cov_pad[:, :, CPAD] - cov_pad[:, :, CPAD + 1])
+    r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, ntx * Ts - W)), mode="edge")
+
+    params = _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw,
+                                     PAD, CPAD, WIN, CWIN)
+    # flatten scalar-prefetch params per tile row
+    params_flat = params.reshape(nty, ntx * 14)
+    flow_f = flow.astype(DEFAULT_FLOAT).reshape(nty, ntx * 2)
+
+    kernel = functools.partial(
+        _merge_row_kernel, s=s, g=g, Ts=Ts, B=B, ntx=ntx, WIN=WIN, CWIN=CWIN,
+        H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                       # params row, flow row
+        grid=(nty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # comp_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # cov_pad (HBM)
+            pl.BlockSpec((Ts, ntx * Ts), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # r row band
+        ],
+        out_specs=[
+            pl.BlockSpec((n_ch, B, ntx * B), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, B, ntx * B), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WIN, WIN), jnp.float32),
+            pltpu.VMEM((3, CWIN, CWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    val, acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, ntx * B), jnp.float32),
+                   jax.ShapeDtypeStruct((n_ch, nty * B, ntx * B), jnp.float32)),
+        interpret=interpret,
+    )(params_flat, flow_f, comp_pad, cov_pad, r_pad)
+
+    return (num + val[:, :out_h, :out_w], den + acc[:, :out_h, :out_w])
+
+
+def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
+                      val_ref, acc_ref, comp_win, cov_win, sem_c, sem_k,
+                      *, s, g, Ts, B, ntx, WIN, CWIN, H, W, iso, bayer,
+                      n_ch, cfa):
+    i = pl.program_id(0)
+    sg = s * g
+    half = jnp.float32(0.5)
+
+    r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)      # (B, 1)
+    c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)      # (1, B)
+
+    def one_tile(tx, _):
+        p0 = tx * 14
+        Syc = params_ref[i, p0 + 0]
+        Sxc = params_ref[i, p0 + 1]
+        ph_y = params_ref[i, p0 + 2]
+        ph_x = params_ref[i, p0 + 3]
+        S2yc = params_ref[i, p0 + 4]
+        S2xc = params_ref[i, p0 + 5]
+        ph2_y = params_ref[i, p0 + 6]
+        ph2_x = params_ref[i, p0 + 7]
+        Sy1 = params_ref[i, p0 + 8]
+        Sx1 = params_ref[i, p0 + 9]
+        S2y1 = params_ref[i, p0 + 10]
+        S2x1 = params_ref[i, p0 + 11]
+        ok = params_ref[i, p0 + 12]
+        fx = flow_ref[i, tx * 2 + 0]
+        fy = flow_ref[i, tx * 2 + 1]
+
+        # ---- DMA the comp / cov windows for this tile into VMEM
+        dma_c = pltpu.make_async_copy(
+            comp_ref.at[pl.ds(Syc, WIN), pl.ds(Sxc, WIN)], comp_win, sem_c)
+        dma_c.start()
+        if not iso:
+            dma_k = pltpu.make_async_copy(
+                cov_ref.at[:, pl.ds(S2yc, CWIN), pl.ds(S2xc, CWIN)],
+                cov_win, sem_k)
+            dma_k.start()
+        dma_c.wait()
+        if not iso:
+            dma_k.wait()
+
+        # ---- geometry
+        center_i = Sy1 + (r_loc + ph_y) // s                     # (B, 1) global
+        center_j = Sx1 + (c_loc + ph_x) // s                     # (1, B)
+        Rrow = (i * B + r_loc).astype(jnp.float32)
+        Ccol = (tx * B + c_loc).astype(jnp.float32)
+        lr_y = (Rrow + half) / s
+        lr_x = (Ccol + half) / s
+        lr_mov_y = lr_y + fy
+        lr_mov_x = lr_x + fx
+        inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                      (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
+
+        r_tile = r_ref[:, pl.ds(tx * Ts, Ts)]                    # (Ts, Ts)
+        local_r = jnp.repeat(jnp.repeat(r_tile, s, axis=0), s, axis=1)
+        wr = jnp.where(inb_center, local_r, 0.0)
+
+        # ---- covariance interpolation (resampled windows)
+        if not iso:
+            cup = jnp.repeat(jnp.repeat(cov_win[:], sg, axis=1), sg, axis=2)
+            kfloor_y = S2y1 + (r_loc + ph2_y) // sg
+            kfloor_x = S2x1 + (c_loc + ph2_x) // sg
+            kmap_y = lr_mov_y / g - half
+            kmap_x = lr_mov_x / g - half
+            frac_y = kmap_y - kfloor_y.astype(jnp.float32)
+            frac_x = kmap_x - kfloor_x.astype(jnp.float32)
+
+            def ctap(dy, dx):
+                return jax.lax.dynamic_slice(
+                    cup, (0, ph2_y + sg * (dy + 1), ph2_x + sg * (dx + 1)),
+                    (3, B, B))
+
+            c00 = ctap(0, 0)
+            c01 = ctap(0, 1)
+            c10 = ctap(1, 0)
+            c11 = ctap(1, 1)
+            top = c00 + frac_x[None] * (c01 - c00)
+            bot = c10 + frac_x[None] * (c11 - c10)
+            cc = top + frac_y[None] * (bot - top)
+            det = cc[0] * cc[2] - cc[1] * cc[1]
+            inv_det = 1.0 / det
+            ixx = inv_det * cc[2]
+            ixy = -inv_det * cc[1]
+            iyy = inv_det * cc[0]
+
+        up = jnp.repeat(jnp.repeat(comp_win[:], s, axis=0), s, axis=1)
+        U = jax.lax.dynamic_slice(up, (ph_y, ph_x), (B + 2 * s, B + 2 * s))
+
+        dist_ref_y = lr_mov_y - half
+        dist_ref_x = lr_mov_x - half
+
+        vals = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
+        accs = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
+        for di in (-1, 0, 1):
+            ig = center_i + di
+            inb_i = (ig >= 0) & (ig < H)
+            pi = ig % 2
+            dist_y = ig.astype(jnp.float32) - dist_ref_y
+            for dj in (-1, 0, 1):
+                jg = center_j + dj
+                inb = inb_i & (jg >= 0) & (jg < W)
+                pj = jg % 2
+                dist_x = jg.astype(jnp.float32) - dist_ref_x
+
+                c = jax.lax.dynamic_slice(
+                    U, (s * (di + 1), s * (dj + 1)), (B, B))
+
+                if iso:
+                    z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
+                else:
+                    z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
+                        + iyy * dist_y * dist_y
+                z = jnp.maximum(z, 0.0)
+                w = jnp.exp(-0.5 * z) * wr * inb
+
+                if bayer:
+                    ch = jnp.where(pi == 0,
+                                   jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
+                                   jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
+                    for k in range(n_ch):
+                        mask = (ch == k).astype(jnp.float32)
+                        vals[k] = vals[k] + w * c * mask
+                        accs[k] = accs[k] + w * mask
+                else:
+                    vals[0] = vals[0] + w * c
+                    accs[0] = accs[0] + w
+
+        for k in range(n_ch):
+            val_ref[k, :, pl.ds(tx * B, B)] = vals[k]
+            acc_ref[k, :, pl.ds(tx * B, B)] = accs[k]
+        return 0
+
+    jax.lax.fori_loop(0, ntx, one_tile, 0)

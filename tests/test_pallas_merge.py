@@ -1,0 +1,67 @@
+"""Pallas merge kernel (interpret mode) vs the tiled XLA merge."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hmsr_tpu.configs import default_config, update_snr_config
+from hmsr_tpu.models.merge_tiled import merge_tiled
+from hmsr_tpu.ops.pallas_merge import merge_pallas
+
+CFA = np.array([[0, 1], [1, 2]])
+
+
+def make_config(scale, ts=16, bayer=True, iso=False):
+    c = default_config()
+    c.scale = scale
+    c.mode = "bayer" if bayer else "grey"
+    c.merging.kernel = "iso" if iso else "steerable"
+    update_snr_config(c, 20)
+    c.block_matching.tuning.tile_size = ts
+    return c
+
+
+def run_both(scale, ts, bayer, iso, seed, h=64, w=128, flow_scale=5.0):
+    rng = np.random.RandomState(seed)
+    c = make_config(scale, ts, bayer, iso)
+    comp = rng.rand(h, w).astype(np.float32)
+    g = 2 if bayer else 1
+    ny, nx = -(-h // ts), -(-w // ts)
+    flow = (rng.rand(ny, nx, 2) * 2 - 1).astype(np.float32) * flow_scale
+    r = rng.rand(h, w).astype(np.float32)
+    gg = rng.rand(h // g, w // g, 2).astype(np.float32) + 0.3
+    cov_c = np.stack([gg[..., 0],
+                      0.2 * np.sqrt(gg[..., 0] * gg[..., 1]),
+                      gg[..., 1]]).astype(np.float32)
+
+    n_ch = 3 if bayer else 1
+    hh, hw = scale * h, scale * w
+    num0 = jnp.asarray(rng.rand(n_ch, hh, hw).astype(np.float32))
+    den0 = jnp.asarray(rng.rand(n_ch, hh, hw).astype(np.float32))
+
+    args = (jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(cov_c),
+            jnp.asarray(r), num0, den0, CFA, c)
+    want_n, want_d = merge_tiled(*args)
+    got_n, got_d = merge_pallas(*args, interpret=True)
+    return map(np.asarray, (got_n, got_d, want_n, want_d))
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+@pytest.mark.parametrize("iso", [False, True])
+def test_matches_tiled(scale, iso):
+    gn, gd, wn, wd = run_both(scale, 16, True, iso, seed=scale * 5 + iso)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+def test_grey(seed=9):
+    gn, gd, wn, wd = run_both(2, 16, False, False, seed)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+def test_large_flow(seed=11):
+    gn, gd, wn, wd = run_both(2, 16, True, False, seed, flow_scale=300.0)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
