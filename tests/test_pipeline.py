@@ -140,3 +140,54 @@ class TestPipelineE2E:
         p2 = compute_psnr(want, np.clip(np.nan_to_num(np.asarray(img2))[crop:-crop, crop:-crop], 0, 1))
         p9 = compute_psnr(want, np.clip(np.nan_to_num(np.asarray(img9))[crop:-crop, crop:-crop], 0, 1))
         assert p9 > p2, (p2, p9)
+
+
+class TestBaselineConfigs:
+    """BASELINE.json benchmark configs #1-#5 exercised end-to-end."""
+
+    def test_x3_accumulated_robustness_merge(self):
+        # config #3: x3 scale with full accumulated-robustness weighting
+        ref, comps, truth, _ = make_synthetic_burst(
+            128, 128, n_frames=6, alpha=ALPHA, beta=BETA, seed=21)
+        c = small_config(scale=3)
+        c.accumulated_robustness_denoiser.enabled = True
+        c.accumulated_robustness_denoiser.merge.enabled = True
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, debug = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        img = np.nan_to_num(np.asarray(img))
+        assert img.shape == (384, 384, 3)
+        assert np.isfinite(img).all()
+        # x3 output vs the x2-grid truth: check brightness statistics only
+        assert 0.05 < img[64:-64, 64:-64].mean() < 0.95
+        assert "accumulated_robustness" in debug
+
+    def test_bicubic_flow_upscale_mode(self):
+        ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=3,
+                                                alpha=ALPHA, beta=BETA, seed=22)
+        c = small_config(scale=2)
+        c.block_matching.tuning.flow_upscale_mode = "bicubic"
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        assert np.isfinite(np.nan_to_num(np.asarray(img))).all()
+
+    def test_bilinear_flow_upscale_mode(self):
+        ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=3,
+                                                alpha=ALPHA, beta=BETA, seed=23)
+        c = small_config(scale=1)
+        c.block_matching.tuning.flow_upscale_mode = "bilinear"
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        assert np.isfinite(np.nan_to_num(np.asarray(img))).all()
+
+    def test_hard_threshold_law(self):
+        ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=3,
+                                                alpha=ALPHA, beta=BETA, seed=24)
+        c = small_config(scale=2)
+        c.merging.selection_law = "hard_threshold"
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        assert np.isfinite(np.nan_to_num(np.asarray(img))).all()
