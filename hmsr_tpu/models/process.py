@@ -94,12 +94,30 @@ def process_burst(burst, config):
     ard = config.accumulated_robustness_denoiser
     ard.enabled = bool(ard.median.enabled or ard.gauss.enabled or ard.merge.enabled)
 
-    # ---- the jitted device pipeline
-    pipe = make_pipeline(config, burst.cfa, burst.white_balance)
-    image, debug = pipe(jnp.asarray(burst.ref_raw),
-                        jnp.asarray(burst.comp_raws),
-                        jnp.asarray(std_curve, DEFAULT_NUMPY_FLOAT),
-                        jnp.asarray(diff_curve, DEFAULT_NUMPY_FLOAT))
+    # ---- the jitted device pipeline (sharded across devices if configured)
+    mesh_shape = config.get("tpu", {}).get("mesh", None)
+    if mesh_shape and int(mesh_shape[0]) * int(mesh_shape[1]) > 1:
+        import jax
+        from ..parallel import make_mesh, make_sharded_pipeline, pad_frames
+        nf, ns = int(mesh_shape[0]), int(mesh_shape[1])
+        assert len(jax.devices()) >= nf * ns, \
+            f"mesh {mesh_shape} needs {nf * ns} devices, have {len(jax.devices())}"
+        mesh = make_mesh(nf, ns)
+        pipe = make_sharded_pipeline(config, burst.cfa, burst.white_balance,
+                                     mesh)
+        frames, weights = pad_frames(burst.comp_raws, nf)
+        image, acc_r = pipe(jnp.asarray(burst.ref_raw), jnp.asarray(frames),
+                            jnp.asarray(weights),
+                            jnp.asarray(std_curve, DEFAULT_NUMPY_FLOAT),
+                            jnp.asarray(diff_curve, DEFAULT_NUMPY_FLOAT))
+        debug = {"accumulated_robustness": acc_r} \
+            if (ard.enabled or config.robustness.save_mask) else {}
+    else:
+        pipe = make_pipeline(config, burst.cfa, burst.white_balance)
+        image, debug = pipe(jnp.asarray(burst.ref_raw),
+                            jnp.asarray(burst.comp_raws),
+                            jnp.asarray(std_curve, DEFAULT_NUMPY_FLOAT),
+                            jnp.asarray(diff_curve, DEFAULT_NUMPY_FLOAT))
 
     # ---- frame-count-aware post denoising
     median_cfg = ard.median

@@ -128,11 +128,22 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         num, den = merge_ref(ref_img, ref_covs, num, den, cfa, config,
                              acc_rob=acc_r if robustness_denoise else None,
                              row_offset=row_offset)
-        return jnp.transpose(num / den, (1, 2, 0))
+        image = jnp.transpose(num / den, (1, 2, 0))
+
+        # acc_r is identical on every space shard; a second psum over 'space'
+        # (divided back) certifies it replicated for the P() output spec.
+        if acc_r is not None:
+            acc_out = jax.lax.psum(acc_r, "space") / mesh.shape["space"]
+        else:
+            acc_out = jax.lax.psum(
+                jax.lax.pcast(jnp.zeros((1, 1), DEFAULT_FLOAT),
+                              ("frames", "space"), to="varying"),
+                ("frames", "space")) * 0.0
+        return image, acc_out
 
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("frames"), P("frames"), P(), P()),
-        out_specs=P("space"),
+        out_specs=(P("space"), P()),
     )
     return jax.jit(sharded) if jit else sharded

@@ -53,8 +53,9 @@ def test_sharded_matches_single_chip(mesh_shape):
     mesh = make_mesh(*mesh_shape)
     pipe = make_sharded_pipeline(c, DEFAULT_CFA, WB, mesh)
     frames, weights = pad_frames(comps, mesh_shape[0])
-    got = pipe(jnp.asarray(ref), jnp.asarray(frames), jnp.asarray(weights),
-               std, diff)
+    got, acc_r = pipe(jnp.asarray(ref), jnp.asarray(frames),
+                      jnp.asarray(weights), std, diff)
+    assert np.asarray(acc_r).shape == ref.shape
 
     np.testing.assert_allclose(np.nan_to_num(np.asarray(got)),
                                np.nan_to_num(np.asarray(want)),
@@ -67,3 +68,29 @@ def test_pad_frames():
     frames, weights = pad_frames(comps, 4)
     assert frames.shape[0] == 8
     assert weights.tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_process_api_with_mesh():
+    from hmsr_tpu.io.synthetic import make_synthetic_burst
+    from hmsr_tpu.models.process import process_arrays
+    from hmsr_tpu.configs import merge as merge_config, default_config
+
+    ref, comps, _, _ = make_synthetic_burst(64, 64, n_frames=5, alpha=ALPHA,
+                                            beta=BETA, seed=17)
+    c = merge_config(default_config(), {
+        "scale": 2, "verbose": 0,
+        "noise_model": {"alpha": ALPHA, "beta": BETA},
+        "block_matching": {"tuning": {
+            "factors": [1, 2], "tile_size_factors": [1, 1],
+            "search_radii": [1, 4], "metrics": ["L1", "L2"],
+            "tile_size": 16}},
+        "postprocessing": {"enabled": False},
+        "tpu": {"mesh": [4, 2]},
+    })
+    import os
+    os.environ.setdefault("HMSR_MC_PATCHES", "2000")
+    img, debug = process_arrays(ref, comps, c, cfa=DEFAULT_CFA)
+    assert img.shape == (128, 128, 3)
+    assert "accumulated_robustness" in debug
+    assert debug["accumulated_robustness"].shape == (64, 64)
