@@ -94,6 +94,14 @@ def process_burst(burst, config):
     ard = config.accumulated_robustness_denoiser
     ard.enabled = bool(ard.median.enabled or ard.gauss.enabled or ard.merge.enabled)
 
+    # ---- optional jax profiler capture around the device pipeline
+    profile_dir = config.get("tpu", {}).get("profile_dir", None)
+    prof_ctx = None
+    if profile_dir:
+        import jax.profiler
+        prof_ctx = jax.profiler.trace(profile_dir)
+        prof_ctx.__enter__()
+
     # ---- the jitted device pipeline (sharded across devices if configured)
     mesh_shape = config.get("tpu", {}).get("mesh", None)
     if mesh_shape and int(mesh_shape[0]) * int(mesh_shape[1]) > 1:
@@ -118,6 +126,11 @@ def process_burst(burst, config):
                             jnp.asarray(burst.comp_raws),
                             jnp.asarray(std_curve, DEFAULT_NUMPY_FLOAT),
                             jnp.asarray(diff_curve, DEFAULT_NUMPY_FLOAT))
+
+    if prof_ctx is not None:
+        import jax
+        jax.block_until_ready(image)
+        prof_ctx.__exit__(None, None, None)
 
     # ---- frame-count-aware post denoising
     median_cfg = ard.median
