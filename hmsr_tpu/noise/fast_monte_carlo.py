@@ -139,6 +139,23 @@ def _store(cache_key, sigmas, diffs):
         pass
 
 
+def round_iso(iso):
+    """Round a non-standard ISO to the nearest power-of-two standard ISO
+    (100, 200, 400, ...) — reference utils.py:122-125."""
+    import math
+    n = round(math.log2(iso / 100))
+    return int(100 * (2 ** n))
+
+
+def load_noise_curves(iso, data_dir):
+    """Load precomputed curves ``noise_model_{std,diff}_ISO_{iso}.npy``
+    (the reference's commented-out loading path, super_resolution.py:243-251)."""
+    iso = round_iso(iso)
+    std = np.load(os.path.join(data_dir, f"noise_model_std_ISO_{iso}.npy"))
+    diff = np.load(os.path.join(data_dir, f"noise_model_diff_ISO_{iso}.npy"))
+    return std, diff
+
+
 def monte_carlo_curves(alpha, beta, seed=0):
     """Brute-force MC over every brightness level (the reference's offline
     ``monte_carlo_simulation.py``), for generating noise_model_*.npy files."""

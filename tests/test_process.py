@@ -138,3 +138,47 @@ class TestProcessAPI:
         img, _ = process_arrays(ref, comps, c, cfa=DEFAULT_CFA)
         assert img.shape == (256, 256, 3)
         assert c.block_matching.tuning.tile_size in (16, 32, 64)
+
+
+class TestUnprocessISP:
+    def test_roundtrip_structure(self):
+        from hmsr_tpu.finishing.unprocess import unprocess_isp, apply_gains, \
+            invert_smoothstep, gamma_expansion
+        rng = np.random.RandomState(0)
+        jpg = rng.rand(16, 16, 3).astype(np.float32) * 0.8 + 0.1
+        raw, meta = unprocess_isp(jpg)
+        assert raw.shape == jpg.shape
+        assert np.isfinite(raw).all()
+        for k in ("rgb2cam", "cam2rgb", "rgb_gain", "lambda_shot", "lambda_read"):
+            assert k in meta
+        # smoothstep inverse is a true inverse on [0, 1]
+        x = np.linspace(0.01, 0.99, 50)
+        y = invert_smoothstep(3 * x ** 2 - 2 * x ** 3)
+        np.testing.assert_allclose(y, x, atol=1e-5)
+        g = apply_gains(jpg, 2.0, 1.5, 1.0)
+        assert g.shape == jpg.shape
+
+    def test_ccm_rows_normalized(self):
+        from hmsr_tpu.finishing.unprocess import get_random_ccm
+        ccm = get_random_ccm(np.random.RandomState(1))
+        np.testing.assert_allclose(ccm.sum(axis=-1), 1.0, atol=1e-9)
+
+
+class TestNoiseCurveFiles:
+    def test_round_iso(self):
+        from hmsr_tpu.noise.fast_monte_carlo import round_iso
+        assert round_iso(100) == 100
+        assert round_iso(130) == 100
+        assert round_iso(150) == 200
+        assert round_iso(820) == 800
+        assert round_iso(3200) == 3200
+
+    def test_save_and_load(self, tmp_path):
+        from hmsr_tpu.noise.fast_monte_carlo import load_noise_curves
+        std = np.linspace(0, 1, 1001)
+        diff = np.linspace(1, 2, 1001)
+        np.save(tmp_path / "noise_model_std_ISO_800.npy", std)
+        np.save(tmp_path / "noise_model_diff_ISO_800.npy", diff)
+        s, d = load_noise_curves(820, str(tmp_path))
+        np.testing.assert_array_equal(s, std)
+        np.testing.assert_array_equal(d, diff)
