@@ -29,6 +29,7 @@ from .alignment import align, init_alignment
 from .kernels import estimate_kernels
 from .merge import merge, merge_ref
 from .merge_tiled import merge_tiled, merge_ref_tiled
+from .merge_fused import merge_burst_tiled
 from .robustness import compute_robustness, init_robustness
 
 
@@ -119,35 +120,65 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
     noise_curves = (std_curve, diff_curve)
-    merge_fn = select_merge(config)
-
-    def step(carry, frame):
-        num, den, acc_r = carry
-        grey = fft_lowpass_grey(frame) if bayer else frame
-        flow = align(align_state, grey, config)
-        r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
-                               white_balance, config)
-        if acc_r is not None:
-            acc_r = acc_r + r
-        covs = estimate_kernels(frame, config)
-        num, den = merge_fn(frame, flow, covs, r, num, den, cfa_pattern, config)
-        ys = (flow, r) if debug_mode else None
-        return (num, den, acc_r), ys
-
-    (num, den, acc_r), ys = jax.lax.scan(step, (num, den, acc_r), comp_imgs)
-
-    # ---- reference frame accumulation
-    ref_covs = estimate_kernels(ref_img, config)
-    merge_ref_fn = select_merge_ref(config)
-    num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern, config,
-                            acc_rob=acc_r if robustness_denoise else None)
-
-    image = jnp.transpose(num / den, (1, 2, 0))    # -> (H*s, W*s, c)
+    fused = (config.get("tpu", {}).get("pipeline", "fused") == "fused"
+             and _use_tiled(config))
 
     debug = {}
-    if debug_mode and ys is not None:
-        debug["flow"] = ys[0]
-        debug["robustness"] = ys[1]
+    if fused:
+        # Phase A (analysis): scan over frames producing per-frame flow,
+        # robustness and covariances. Phase B (fused merge): every frame
+        # accumulated per HR tile in VMEM; num/den never round-trip HBM.
+        def analyze(acc_r, frame):
+            grey = fft_lowpass_grey(frame) if bayer else frame
+            flow = align(align_state, grey, config)
+            r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
+                                   white_balance, config)
+            if acc_r is not None:
+                acc_r = acc_r + r
+            covs = estimate_kernels(frame, config)
+            return acc_r, (flow, r, covs)
+
+        acc_r, (flows, rmaps, covs_stack) = jax.lax.scan(
+            analyze, acc_r, comp_imgs)
+        ref_covs = estimate_kernels(ref_img, config)
+        image = merge_burst_tiled(
+            comp_imgs, flows, covs_stack, rmaps, ref_img, ref_covs,
+            cfa_pattern, config,
+            acc_rob=acc_r if robustness_denoise else None)
+        image = jnp.transpose(image, (1, 2, 0))
+        if debug_mode:
+            debug["flow"] = flows
+            debug["robustness"] = rmaps
+    else:
+        merge_fn = select_merge(config)
+
+        def step(carry, frame):
+            num, den, acc_r = carry
+            grey = fft_lowpass_grey(frame) if bayer else frame
+            flow = align(align_state, grey, config)
+            r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
+                                   white_balance, config)
+            if acc_r is not None:
+                acc_r = acc_r + r
+            covs = estimate_kernels(frame, config)
+            num, den = merge_fn(frame, flow, covs, r, num, den, cfa_pattern,
+                                config)
+            ys = (flow, r) if debug_mode else None
+            return (num, den, acc_r), ys
+
+        (num, den, acc_r), ys = jax.lax.scan(step, (num, den, acc_r), comp_imgs)
+
+        # ---- reference frame accumulation
+        ref_covs = estimate_kernels(ref_img, config)
+        merge_ref_fn = select_merge_ref(config)
+        num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern,
+                                config,
+                                acc_rob=acc_r if robustness_denoise else None)
+        image = jnp.transpose(num / den, (1, 2, 0))    # -> (H*s, W*s, c)
+        if debug_mode and ys is not None:
+            debug["flow"] = ys[0]
+            debug["robustness"] = ys[1]
+
     if acc_r is not None:
         debug["accumulated_robustness"] = acc_r
     return image, debug

@@ -1,0 +1,96 @@
+"""Burst-fused merge must equal sequential merges + ref merge + divide."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hmsr_tpu.configs import default_config, update_snr_config
+from hmsr_tpu.models.merge_tiled import merge_tiled, merge_ref_tiled
+from hmsr_tpu.models.merge_fused import merge_burst_tiled
+
+CFA = np.array([[0, 1], [1, 2]])
+
+
+def make_config(scale, ts=16, bayer=True, iso=False, acc=False):
+    c = default_config()
+    c.scale = scale
+    c.mode = "bayer" if bayer else "grey"
+    c.merging.kernel = "iso" if iso else "steerable"
+    update_snr_config(c, 20)
+    c.block_matching.tuning.tile_size = ts
+    if acc:
+        c.accumulated_robustness_denoiser.enabled = True
+        c.accumulated_robustness_denoiser.merge.enabled = True
+    else:
+        c.accumulated_robustness_denoiser.enabled = False
+    return c
+
+
+def run_case(scale, bayer, iso, seed, acc=False, F=3, h=64, w=80, ts=16):
+    rng = np.random.RandomState(seed)
+    c = make_config(scale, ts, bayer, iso, acc)
+    g = 2 if bayer else 1
+    ny, nx = -(-h // ts), -(-w // ts)
+
+    comp = rng.rand(F, h, w).astype(np.float32)
+    ref = rng.rand(h, w).astype(np.float32)
+    flows = ((rng.rand(F, ny, nx, 2) * 2 - 1) * 5).astype(np.float32)
+    rmaps = rng.rand(F, h, w).astype(np.float32)
+
+    def rand_cov(n):
+        gg = rng.rand(n, h // g, w // g, 2).astype(np.float32) + 0.3
+        return np.stack([gg[..., 0],
+                         0.2 * np.sqrt(gg[..., 0] * gg[..., 1]),
+                         gg[..., 1]], axis=1).astype(np.float32)
+
+    covs = rand_cov(F)
+    ref_covs = rand_cov(1)[0]
+    acc_rob = (rng.rand(h, w) * 4).astype(np.float32) if acc else None
+
+    n_ch = 3 if bayer else 1
+    hh, hw = scale * h, scale * w
+
+    # sequential reference computation
+    num = jnp.zeros((n_ch, hh, hw), jnp.float32)
+    den = jnp.zeros((n_ch, hh, hw), jnp.float32)
+    for f in range(F):
+        num, den = merge_tiled(jnp.asarray(comp[f]), jnp.asarray(flows[f]),
+                               jnp.asarray(covs[f]), jnp.asarray(rmaps[f]),
+                               num, den, CFA, c)
+    num, den = merge_ref_tiled(jnp.asarray(ref), jnp.asarray(ref_covs), num,
+                               den, CFA, c,
+                               acc_rob=jnp.asarray(acc_rob) if acc else None)
+    want = np.asarray(num / den)
+
+    got = np.asarray(merge_burst_tiled(
+        jnp.asarray(comp), jnp.asarray(flows), jnp.asarray(covs),
+        jnp.asarray(rmaps), jnp.asarray(ref), jnp.asarray(ref_covs), CFA, c,
+        acc_rob=jnp.asarray(acc_rob) if acc else None))
+    return got, want
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+@pytest.mark.parametrize("iso", [False, True])
+def test_matches_sequential(scale, iso):
+    got, want = run_case(scale, True, iso, seed=scale * 3 + iso)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+def test_grey():
+    got, want = run_case(2, False, False, seed=5)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+def test_acc_rob_override():
+    got, want = run_case(2, True, False, seed=7, acc=True)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+def test_scale3():
+    got, want = run_case(3, True, False, seed=9, F=2)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
