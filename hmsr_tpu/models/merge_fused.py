@@ -71,6 +71,10 @@ def merge_burst_tiled(comp_stack, flows, covs_stack, r_stack, ref_img,
         2.0 * cov_pad[:, :, CPAD, :] - cov_pad[:, :, CPAD + 1, :])
     cov_pad = cov_pad.at[:, :, :, CPAD - 1].set(
         2.0 * cov_pad[:, :, :, CPAD] - cov_pad[:, :, :, CPAD + 1])
+    # Flatten (F, 3, ...) -> (F*3, ...): keeps the BIG spatial dims minor.
+    # XLA's layout assignment otherwise tiles the tiny (F, 3) dims to
+    # (8, 128) — a 50x memory blowup at 12MP (observed: 38 GB for 708 MB).
+    cov_pad = cov_pad.reshape(F * 3, gh + 2 * CPAD, gw + 2 * CPAD)
     r_pad = jnp.pad(r_stack, ((0, 0), (0, nty * Ts - H), (0, ntx * Ts - W)),
                     mode="edge")
 
@@ -162,8 +166,8 @@ def merge_burst_tiled(comp_stack, flows, covs_stack, r_stack, ref_img,
                 S2yc = jnp.clip(S2y, -CPAD, gh + CPAD - CWIN)
                 S2xc = jnp.clip(S2x, -CPAD, gw + CPAD - CWIN)
                 cwin = jax.lax.dynamic_slice(
-                    cov_pad, (f, 0, S2yc + CPAD, S2xc + CPAD),
-                    (1, 3, CWIN, CWIN))[0]
+                    cov_pad, (f * 3, S2yc + CPAD, S2xc + CPAD),
+                    (3, CWIN, CWIN))
                 cup = jnp.repeat(jnp.repeat(cwin, sg, axis=1), sg, axis=2)
                 CU = jax.lax.dynamic_slice(cup, (0, ph2_y, ph2_x),
                                            (3, B + 2 * sg, B + 2 * sg))
