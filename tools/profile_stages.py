@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Per-stage wall-clock profiling at 12MP scale on the current backend.
+"""Per-stage wall-clock profiling at 12MP scale (honest methodology).
 
-Times each pipeline stage as its own jitted program (steady-state, best of N)
-to rank optimization targets. Run on the TPU; writes a summary to stderr.
+Timing rules (CLAUDE.md): perturb inputs every run (backend memoizes),
+observe completion via a scalar-checksum readback, report best of N.
+Run ONE instance at a time (single-tenant chip).
 """
 
 import sys
@@ -13,15 +14,27 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, n=3, warmup=1):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def timeit(make_fn, args, perturb_idx=0, n=2):
+    """make_fn -> jitted fn returning a scalar; args perturbed per run."""
+    fn = make_fn()
+    v = float(np.asarray(fn(*args)))        # compile + warm
     ts = []
-    for _ in range(n):
+    for i in range(n):
+        args2 = list(args)
+        args2[perturb_idx] = args2[perturb_idx] + jnp.float32(1e-7 * (i + 1))
+        jax.block_until_ready(args2[perturb_idx])
+        _ = float(np.asarray(jnp.sum(args2[perturb_idx].ravel()[:3])))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _ = float(np.asarray(fn(*args2)))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts), v
+
+
+def chk(x):
+    if isinstance(x, (tuple, list)):
+        return sum(chk(v) for v in jax.tree.leaves(x))
+    x = x if x.ndim <= 2 else x[..., ::17, ::19]
+    return jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0))
 
 
 def main():
@@ -29,11 +42,12 @@ def main():
     from hmsr_tpu.models.alignment import init_alignment, align
     from hmsr_tpu.models.robustness import init_robustness, compute_robustness
     from hmsr_tpu.models.kernels import estimate_kernels
-    from hmsr_tpu.models.merge import merge, merge_ref
-    from hmsr_tpu.models.pipeline import select_merge, merge_ref_banded
+    from hmsr_tpu.models.merge_fused import merge_burst_tiled
     from hmsr_tpu.ops.grey import fft_lowpass_grey
+    from hmsr_tpu.ops.pyramid import build_gaussian_pyramid
 
     H, W = (3000, 4000) if len(sys.argv) < 2 else map(int, sys.argv[1].split("x"))
+    NF = 4   # frames for the fused-merge timing (keep runs quick)
     SCALE = 2
     ALPHA, BETA = 1.8e-4, 3.0e-6
     CFA = np.array([[0, 1], [1, 2]])
@@ -49,7 +63,7 @@ def main():
     config.noise_model.alpha = ALPHA
     config.noise_model.beta = BETA
     config.accumulated_robustness_denoiser.enabled = False
-    update_snr_config(config, 25.0)     # Ts = 16 like a bright burst
+    update_snr_config(config, 25.0)
     sanitize_config(config, ref.shape)
     Ts = config.block_matching.tuning.tile_size
     print(f"image {H}x{W}, tile {Ts}, device {jax.devices()[0]}", file=sys.stderr)
@@ -62,52 +76,57 @@ def main():
 
     results = {}
 
+    results["grey_fft"], _ = timeit(
+        lambda: jax.jit(lambda x: chk(fft_lowpass_grey(x))), [comp_d])
+
+    results["pyramid"], _ = timeit(
+        lambda: jax.jit(lambda x: chk(list(build_gaussian_pyramid(
+            x, config.block_matching.tuning.factors)))), [comp_d])
+
     grey_fn = jax.jit(fft_lowpass_grey)
-    results["grey_fft"] = timeit(grey_fn, comp_d)
     ref_grey = grey_fn(ref_d)
     comp_grey = grey_fn(comp_d)
+    astate = jax.jit(lambda g: init_alignment(g, config))(ref_grey)
 
-    init_align_fn = jax.jit(lambda g: init_alignment(g, config))
-    results["init_alignment"] = timeit(init_align_fn, ref_grey)
-    astate = init_align_fn(ref_grey)
+    results["align_full"], _ = timeit(
+        lambda: jax.jit(lambda g, st: chk(align(st, g, config))),
+        [comp_grey, astate])
 
-    align_fn = jax.jit(lambda st, g: align(st, g, config))
-    results["align"] = timeit(align_fn, astate, comp_grey)
-    flow = align_fn(astate, comp_grey)
+    rstats = jax.jit(lambda im: init_robustness(im, CFA, WB, (std_d, diff_d),
+                                                config))(ref_d)
+    flow = jax.jit(lambda g: align(astate, g, config))(comp_grey)
 
-    init_rob_fn = jax.jit(lambda im: init_robustness(im, CFA, WB, (std_d, diff_d), config))
-    results["init_robustness"] = timeit(init_rob_fn, ref_d)
-    rstats = init_rob_fn(ref_d)
+    results["robustness"], _ = timeit(
+        lambda: jax.jit(lambda im, st, fl: chk(compute_robustness(
+            im, st, fl, CFA, WB, config))), [comp_d, rstats, flow])
 
-    rob_fn = jax.jit(lambda im, st, fl: compute_robustness(
-        im, st, fl, CFA, WB, config))
-    results["robustness"] = timeit(rob_fn, comp_d, rstats, flow)
-    r = rob_fn(comp_d, rstats, flow)
+    results["kernels"], _ = timeit(
+        lambda: jax.jit(lambda im: chk(estimate_kernels(im, config))), [comp_d])
 
-    kern_fn = jax.jit(lambda im: estimate_kernels(im, config))
-    results["kernels"] = timeit(kern_fn, comp_d)
-    covs = kern_fn(comp_d)
+    # fused merge over NF frames
+    comps = jnp.asarray(rng.rand(NF, H, W).astype(np.float32))
+    ny, nx = -(-H // Ts), -(-W // Ts)
+    flows = jnp.asarray((rng.rand(NF, ny, nx, 2) * 4 - 2).astype(np.float32))
+    rmaps = jnp.asarray(rng.rand(NF, H, W).astype(np.float32))
+    g2 = rng.rand(NF, H // 2, W // 2, 2).astype(np.float32) + 0.3
+    covs = jnp.asarray(np.stack([g2[..., 0], 0.2 * g2[..., 0], g2[..., 1]],
+                                axis=1))
+    ref_covs = covs[0]
 
-    out_h, out_w = SCALE * H, SCALE * W
-    num = jnp.zeros((3, out_h, out_w), jnp.float32)
-    den = jnp.zeros((3, out_h, out_w), jnp.float32)
-    mi = select_merge(config)
-    merge_fn = jax.jit(lambda c, f, cv, rr, n, d: mi(c, f, cv, rr, n, d, CFA, config))
-    results["merge"] = timeit(merge_fn, comp_d, flow, covs, r, num, den)
+    results[f"merge_fused_{NF}f"], _ = timeit(
+        lambda: jax.jit(lambda cs, fl, cv, rm, rf, rc: chk(merge_burst_tiled(
+            cs, fl, cv, rm, rf, rc, CFA, config))),
+        [comps, flows, covs, rmaps, ref_d, ref_covs])
 
-    from hmsr_tpu.models.pipeline import select_merge_ref
-    mr = select_merge_ref(config)
-    mref_fn = jax.jit(lambda c, cv, n, d: mr(c, cv, n, d, CFA, config))
-    results["merge_ref"] = timeit(mref_fn, ref_d, covs, num, den)
-
-    per_frame = (results["grey_fft"] + results["align"] + results["robustness"]
-                 + results["kernels"] + results["merge"])
-    print("\n--- stage timings (best of 3, s) ---", file=sys.stderr)
+    print("\n--- honest stage timings (best of 2, ms) ---", file=sys.stderr)
     for k, v in results.items():
-        print(f"{k:20s} {v*1000:9.2f} ms", file=sys.stderr)
-    print(f"{'per-frame total':20s} {per_frame*1000:9.2f} ms", file=sys.stderr)
-    print(f"{'20-frame estimate':20s} {(results['init_alignment'] + results['init_robustness'] + 19*per_frame + results['merge_ref']):9.3f} s",
-          file=sys.stderr)
+        print(f"{k:20s} {v*1000:9.1f} ms", file=sys.stderr)
+    per_frame = (results["grey_fft"] + results["align_full"]
+                 + results["robustness"] + results["kernels"])
+    merge_pf = results[f"merge_fused_{NF}f"] / NF
+    print(f"analysis per frame   {per_frame*1000:9.1f} ms", file=sys.stderr)
+    print(f"merge per frame      {merge_pf*1000:9.1f} ms", file=sys.stderr)
+    print(f"19-frame estimate    {19*(per_frame+merge_pf):9.2f} s", file=sys.stderr)
 
 
 if __name__ == "__main__":
