@@ -30,6 +30,7 @@ from .kernels import estimate_kernels
 from .merge import merge, merge_ref
 from .merge_tiled import merge_tiled, merge_ref_tiled
 from .merge_fused import merge_burst_tiled
+from .merge_slab import merge_burst_slab
 from .robustness import compute_robustness, init_robustness
 
 
@@ -141,7 +142,10 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         acc_r, (flows, rmaps, covs_stack) = jax.lax.scan(
             analyze, acc_r, comp_imgs)
         ref_covs = estimate_kernels(ref_img, config)
-        image = merge_burst_tiled(
+        fused_impl = merge_burst_slab \
+            if config.get("tpu", {}).get("fused_impl", "slab") == "slab" \
+            else merge_burst_tiled
+        image = fused_impl(
             comp_imgs, flows, covs_stack, rmaps, ref_img, ref_covs,
             cfa_pattern, config,
             acc_rob=acc_r if robustness_denoise else None)

@@ -94,3 +94,61 @@ def test_scale3():
     got, want = run_case(3, True, False, seed=9, F=2)
     m = np.isfinite(want)
     np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# row-slab implementation must equal the tiled fused implementation
+# ---------------------------------------------------------------------------
+
+from hmsr_tpu.models.merge_slab import merge_burst_slab
+
+
+def run_slab(scale, bayer, iso, seed, acc=False, F=3, h=64, w=80, ts=16):
+    rng = np.random.RandomState(seed)
+    c = make_config(scale, ts, bayer, iso, acc)
+    g = 2 if bayer else 1
+    ny, nx = -(-h // ts), -(-w // ts)
+    comp = rng.rand(F, h, w).astype(np.float32)
+    ref = rng.rand(h, w).astype(np.float32)
+    flows = ((rng.rand(F, ny, nx, 2) * 2 - 1) * 5).astype(np.float32)
+    rmaps = rng.rand(F, h, w).astype(np.float32)
+    gg = rng.rand(F, h // g, w // g, 2).astype(np.float32) + 0.3
+    covs = np.stack([gg[..., 0], 0.2 * np.sqrt(gg[..., 0] * gg[..., 1]),
+                     gg[..., 1]], axis=1).astype(np.float32)
+    gg2 = rng.rand(h // g, w // g, 2).astype(np.float32) + 0.3
+    ref_covs = np.stack([gg2[..., 0], 0.1 * gg2[..., 0], gg2[..., 1]]).astype(np.float32)
+    acc_rob = (rng.rand(h, w) * 4).astype(np.float32) if acc else None
+
+    args = (jnp.asarray(comp), jnp.asarray(flows), jnp.asarray(covs),
+            jnp.asarray(rmaps), jnp.asarray(ref), jnp.asarray(ref_covs), CFA, c)
+    kw = dict(acc_rob=jnp.asarray(acc_rob) if acc else None)
+    want = np.asarray(merge_burst_tiled(*args, **kw))
+    got = np.asarray(merge_burst_slab(*args, **kw))
+    return got, want
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+@pytest.mark.parametrize("iso", [False, True])
+def test_slab_matches_tiled(scale, iso):
+    got, want = run_slab(scale, True, iso, seed=scale * 11 + iso)
+    m = np.isfinite(want)
+    assert (np.isfinite(got) == m).all()
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+def test_slab_grey():
+    got, want = run_slab(2, False, False, seed=31)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+def test_slab_acc_rob():
+    got, want = run_slab(2, True, False, seed=33, acc=True)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+
+
+def test_slab_scale3():
+    got, want = run_slab(3, True, False, seed=35, F=2)
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)

@@ -42,7 +42,7 @@ def main():
     from hmsr_tpu.models.alignment import init_alignment, align
     from hmsr_tpu.models.robustness import init_robustness, compute_robustness
     from hmsr_tpu.models.kernels import estimate_kernels
-    from hmsr_tpu.models.merge_fused import merge_burst_tiled
+    from hmsr_tpu.models.merge_slab import merge_burst_slab as merge_burst_tiled
     from hmsr_tpu.ops.grey import fft_lowpass_grey
     from hmsr_tpu.ops.pyramid import build_gaussian_pyramid
 
