@@ -125,6 +125,8 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         scratch_shapes=[
             pltpu.VMEM((WIN, WIN), jnp.float32),
             pltpu.VMEM((3, CWIN, CWIN), jnp.float32),
+            pltpu.VMEM((WIN * s, WIN * s), jnp.float32),
+            pltpu.VMEM((3, CWIN * sg, CWIN * sg), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -142,7 +144,8 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
 
 
 def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-                      val_ref, acc_ref, comp_win, cov_win, sem_c, sem_k,
+                      val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
+                      sem_c, sem_k,
                       *, s, g, Ts, B, ntx, WIN, CWIN, H, W, iso, bayer,
                       n_ch, cfa):
     i = pl.program_id(0)
@@ -201,7 +204,8 @@ def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
         # ---- covariance interpolation (resampled windows)
         if not iso:
-            cup = jnp.repeat(jnp.repeat(cov_win[:], sg, axis=1), sg, axis=2)
+            cup_ref[:] = jnp.repeat(jnp.repeat(cov_win[:], sg, axis=1),
+                                    sg, axis=2)
             kfloor_y = S2y1 + (r_loc + ph2_y) // sg
             kfloor_x = S2x1 + (c_loc + ph2_x) // sg
             kmap_y = lr_mov_y / g - half
@@ -210,9 +214,8 @@ def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             frac_x = kmap_x - kfloor_x.astype(jnp.float32)
 
             def ctap(dy, dx):
-                return jax.lax.dynamic_slice(
-                    cup, (0, ph2_y + sg * (dy + 1), ph2_x + sg * (dx + 1)),
-                    (3, B, B))
+                return cup_ref[:, pl.ds(ph2_y + sg * (dy + 1), B),
+                               pl.ds(ph2_x + sg * (dx + 1), B)]
 
             c00 = ctap(0, 0)
             c01 = ctap(0, 1)
@@ -227,8 +230,7 @@ def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             ixy = -inv_det * cc[1]
             iyy = inv_det * cc[0]
 
-        up = jnp.repeat(jnp.repeat(comp_win[:], s, axis=0), s, axis=1)
-        U = jax.lax.dynamic_slice(up, (ph_y, ph_x), (B + 2 * s, B + 2 * s))
+        up_ref[:] = jnp.repeat(jnp.repeat(comp_win[:], s, axis=0), s, axis=1)
 
         dist_ref_y = lr_mov_y - half
         dist_ref_x = lr_mov_x - half
@@ -246,8 +248,8 @@ def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                 pj = jg % 2
                 dist_x = jg.astype(jnp.float32) - dist_ref_x
 
-                c = jax.lax.dynamic_slice(
-                    U, (s * (di + 1), s * (dj + 1)), (B, B))
+                c = up_ref[pl.ds(ph_y + s * (di + 1), B),
+                           pl.ds(ph_x + s * (dj + 1), B)]
 
                 if iso:
                     z = 2.0 * (dist_x * dist_x + dist_y * dist_y)

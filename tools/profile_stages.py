@@ -14,10 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(make_fn, args, perturb_idx=0, n=2):
+def timeit(make_fn, args, perturb_idx=0, n=2, name=""):
     """make_fn -> jitted fn returning a scalar; args perturbed per run."""
+    t0 = time.perf_counter()
     fn = make_fn()
     v = float(np.asarray(fn(*args)))        # compile + warm
+    print(f"  [{name}] compile+warm {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     ts = []
     for i in range(n):
         args2 = list(args)
@@ -77,11 +80,13 @@ def main():
     results = {}
 
     results["grey_fft"], _ = timeit(
-        lambda: jax.jit(lambda x: chk(fft_lowpass_grey(x))), [comp_d])
+        name="grey_fft",
+        make_fn=lambda: jax.jit(lambda x: chk(fft_lowpass_grey(x))), args=[comp_d])
 
     results["pyramid"], _ = timeit(
-        lambda: jax.jit(lambda x: chk(list(build_gaussian_pyramid(
-            x, config.block_matching.tuning.factors)))), [comp_d])
+        name="pyramid",
+        make_fn=lambda: jax.jit(lambda x: chk(list(build_gaussian_pyramid(
+            x, config.block_matching.tuning.factors)))), args=[comp_d])
 
     grey_fn = jax.jit(fft_lowpass_grey)
     ref_grey = grey_fn(ref_d)
@@ -89,19 +94,22 @@ def main():
     astate = jax.jit(lambda g: init_alignment(g, config))(ref_grey)
 
     results["align_full"], _ = timeit(
-        lambda: jax.jit(lambda g, st: chk(align(st, g, config))),
-        [comp_grey, astate])
+        name="align_full",
+        make_fn=lambda: jax.jit(lambda g, st: chk(align(st, g, config))),
+        args=[comp_grey, astate])
 
     rstats = jax.jit(lambda im: init_robustness(im, CFA, WB, (std_d, diff_d),
                                                 config))(ref_d)
     flow = jax.jit(lambda g: align(astate, g, config))(comp_grey)
 
     results["robustness"], _ = timeit(
-        lambda: jax.jit(lambda im, st, fl: chk(compute_robustness(
-            im, st, fl, CFA, WB, config))), [comp_d, rstats, flow])
+        name="robustness",
+        make_fn=lambda: jax.jit(lambda im, st, fl: chk(compute_robustness(
+            im, st, fl, CFA, WB, config))), args=[comp_d, rstats, flow])
 
     results["kernels"], _ = timeit(
-        lambda: jax.jit(lambda im: chk(estimate_kernels(im, config))), [comp_d])
+        name="kernels",
+        make_fn=lambda: jax.jit(lambda im: chk(estimate_kernels(im, config))), args=[comp_d])
 
     # fused merge over NF frames
     comps = jnp.asarray(rng.rand(NF, H, W).astype(np.float32))
@@ -114,9 +122,10 @@ def main():
     ref_covs = covs[0]
 
     results[f"merge_fused_{NF}f"], _ = timeit(
-        lambda: jax.jit(lambda cs, fl, cv, rm, rf, rc: chk(merge_burst_tiled(
+        name="merge_fused",
+        make_fn=lambda: jax.jit(lambda cs, fl, cv, rm, rf, rc: chk(merge_burst_tiled(
             cs, fl, cv, rm, rf, rc, CFA, config))),
-        [comps, flows, covs, rmaps, ref_d, ref_covs])
+        args=[comps, flows, covs, rmaps, ref_d, ref_covs])
 
     print("\n--- honest stage timings (best of 2, ms) ---", file=sys.stderr)
     for k, v in results.items():
