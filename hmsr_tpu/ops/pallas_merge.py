@@ -1,21 +1,19 @@
 """Pallas TPU kernel for the merge accumulation hot path (Alg. 4).
 
-The tiled-XLA fast path (:mod:`hmsr_tpu.models.merge_tiled`) already removed
-all gathers; this kernel additionally fuses the whole per-tile computation —
-window fetch, covariance interpolation + inversion, 3x3 kernel-regression
-accumulation — into one VMEM-resident program per HR tile group, with the
-per-tile dynamic windows fetched by explicit async DMA from HBM (the offsets
-are data-dependent on the flow, which BlockSpec index maps cannot express).
+Fuses the whole per-tile computation — window fetch, covariance interpolation
++ inversion, 3x3 kernel-regression accumulation — into one VMEM-resident
+program per HR tile, with the flow-dependent windows fetched by explicit
+async DMA from HBM (BlockSpec index maps cannot express data-dependent
+offsets; scalar-prefetched per-tile parameters drive the DMA).
 
-Grid: one program per alignment-tile row; each program loops over the row's
-tiles, DMAs its (Ts+4)^2 comp window and (Ts/g+4)^2 covariance windows into
-VMEM scratch, and writes the (B, ntx*B) output row block. Per-tile integer
-offsets/phases are precomputed on the XLA side and passed via scalar
-prefetch. f32 throughout (parity with the reference).
+Mosaic constraints shaping the implementation:
+- no dynamic-slice on values: windows are staged in VMEM scratch refs;
+- no dynamic offsets on the LANE (minor) dimension of vector loads: the
+  lane phase ``ph_x`` lives in [0, s) (and [0, s*g) for the covariance
+  grid), so lane-dynamic reads are an explicit select over the s (or s*g)
+  possible static slices; sublane offsets may be dynamic (pl.ds).
 
-Layout note: per-tile blocks are (B, B) with B = Ts*s (32 for the default
-Ts=16, s=2); the kernel processes a whole tile ROW per program so stores hit
-(B, ntx*B)-wide VMEM buffers (lane-dim >= 128).
+Grid: one program per alignment tile (nty, ntx). f32 throughout.
 """
 
 import functools
@@ -57,7 +55,6 @@ def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
     S2x, S2xc, ph2_x = win_params(m2_x, tx * B, gw, CPAD, CWIN, sg)
 
     ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.int32)
-    # int32 param stack: (ny, nx, 14)
     params = jnp.stack([Syc + PAD, Sxc + PAD, ph_y, ph_x,
                         S2yc + CPAD, S2xc + CPAD, ph2_y, ph2_x,
                         Sy + 1, Sx + 1, S2y + 1, S2x + 1, ok,
@@ -97,29 +94,45 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         2.0 * cov_pad[:, :, CPAD] - cov_pad[:, :, CPAD + 1])
     r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, ntx * Ts - W)), mode="edge")
 
+    # tiles per program along x so every block's lane dim is 128-divisible
+    XG = max(1, 128 // np.gcd(Ts, 128))
+    NTXP = -(-ntx // XG) * XG
+
     params = _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw,
                                      PAD, CPAD, WIN, CWIN)
-    # flatten scalar-prefetch params per tile row
-    params_flat = params.reshape(nty, ntx * 14)
-    flow_f = flow.astype(DEFAULT_FLOAT).reshape(nty, ntx * 2)
+    params = params[:nty, :ntx]
+    if NTXP != ntx:
+        # padding tiles: fully masked (ok=0), safe zero offsets
+        fill = jnp.zeros((nty, NTXP - ntx, 14), params.dtype)
+        params = jnp.concatenate([params, fill], axis=1)
+    params_flat = params.reshape(nty, NTXP * 14)
+    flow_t = flow[:nty, :ntx].astype(DEFAULT_FLOAT)
+    if NTXP != ntx:
+        flow_t = jnp.concatenate(
+            [flow_t, jnp.zeros((nty, NTXP - ntx, 2), DEFAULT_FLOAT)], axis=1)
+    flow_f = flow_t.reshape(nty, NTXP * 2)
+
+    # r padded to the grouped tile grid
+    r_pad = jnp.pad(r_pad, ((0, 0), (0, NTXP * Ts - r_pad.shape[1])),
+                    mode="edge")
 
     kernel = functools.partial(
-        _merge_row_kernel, s=s, g=g, Ts=Ts, B=B, ntx=ntx, WIN=WIN, CWIN=CWIN,
+        _merge_tile_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                       # params row, flow row
-        grid=(nty,),
+        grid=(nty, NTXP // XG),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # comp_pad (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # cov_pad (HBM)
-            pl.BlockSpec((Ts, ntx * Ts), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),   # r row band
+            pl.BlockSpec((Ts, XG * Ts), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),   # r tile group
         ],
         out_specs=[
-            pl.BlockSpec((n_ch, B, ntx * B), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((n_ch, B, XG * B), lambda i, j, *_: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch, B, ntx * B), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((n_ch, B, XG * B), lambda i, j, *_: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -135,145 +148,168 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     val, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, ntx * B), jnp.float32),
-                   jax.ShapeDtypeStruct((n_ch, nty * B, ntx * B), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32),
+                   jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32)),
         interpret=interpret,
     )(params_flat, flow_f, comp_pad, cov_pad, r_pad)
 
     return (num + val[:, :out_h, :out_w], den + acc[:, :out_h, :out_w])
 
 
-def _merge_row_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-                      val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
-                      sem_c, sem_k,
-                      *, s, g, Ts, B, ntx, WIN, CWIN, H, W, iso, bayer,
-                      n_ch, cfa):
+def _lane_select(read_fn, phase, n_phases):
+    """Select among n static lane offsets by the runtime phase scalar."""
+    out = read_fn(0)
+    for p in range(1, n_phases):
+        out = jnp.where(phase == p, read_fn(p), out)
+    return out
+
+
+def _merge_tile_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
+                       val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
+                       sem_c, sem_k,
+                       *, s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
+                       n_ch, cfa):
     i = pl.program_id(0)
+    jg_ = pl.program_id(1)
     sg = s * g
     half = jnp.float32(0.5)
+
+    for t in range(XG):
+        _one_tile(t, i, jg_ * XG + t, params_ref, flow_ref, comp_ref, cov_ref,
+                  r_ref, val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
+                  sem_c, sem_k, s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
+                  H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
+
+
+def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
+              val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
+              sem_c, sem_k,
+              *, s, g, Ts, B, WIN, CWIN, H, W, iso, bayer, n_ch, cfa):
+    sg = s * g
+    half = jnp.float32(0.5)
+
+    p0 = j * 14
+    Syc = params_ref[i, p0 + 0]
+    Sxc = params_ref[i, p0 + 1]
+    ph_y = params_ref[i, p0 + 2]
+    ph_x = params_ref[i, p0 + 3]
+    S2yc = params_ref[i, p0 + 4]
+    S2xc = params_ref[i, p0 + 5]
+    ph2_y = params_ref[i, p0 + 6]
+    ph2_x = params_ref[i, p0 + 7]
+    Sy1 = params_ref[i, p0 + 8]
+    Sx1 = params_ref[i, p0 + 9]
+    S2y1 = params_ref[i, p0 + 10]
+    S2x1 = params_ref[i, p0 + 11]
+    ok = params_ref[i, p0 + 12]
+    fx = flow_ref[i, j * 2 + 0]
+    fy = flow_ref[i, j * 2 + 1]
 
     r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)      # (B, 1)
     c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)      # (1, B)
 
-    def one_tile(tx, _):
-        p0 = tx * 14
-        Syc = params_ref[i, p0 + 0]
-        Sxc = params_ref[i, p0 + 1]
-        ph_y = params_ref[i, p0 + 2]
-        ph_x = params_ref[i, p0 + 3]
-        S2yc = params_ref[i, p0 + 4]
-        S2xc = params_ref[i, p0 + 5]
-        ph2_y = params_ref[i, p0 + 6]
-        ph2_x = params_ref[i, p0 + 7]
-        Sy1 = params_ref[i, p0 + 8]
-        Sx1 = params_ref[i, p0 + 9]
-        S2y1 = params_ref[i, p0 + 10]
-        S2x1 = params_ref[i, p0 + 11]
-        ok = params_ref[i, p0 + 12]
-        fx = flow_ref[i, tx * 2 + 0]
-        fy = flow_ref[i, tx * 2 + 1]
+    # ---- DMA the comp / cov windows for this tile into VMEM
+    dma_c = pltpu.make_async_copy(
+        comp_ref.at[pl.ds(Syc, WIN), pl.ds(Sxc, WIN)], comp_win, sem_c)
+    dma_c.start()
+    if not iso:
+        dma_k = pltpu.make_async_copy(
+            cov_ref.at[:, pl.ds(S2yc, CWIN), pl.ds(S2xc, CWIN)],
+            cov_win, sem_k)
+        dma_k.start()
+    dma_c.wait()
+    if not iso:
+        dma_k.wait()
 
-        # ---- DMA the comp / cov windows for this tile into VMEM
-        dma_c = pltpu.make_async_copy(
-            comp_ref.at[pl.ds(Syc, WIN), pl.ds(Sxc, WIN)], comp_win, sem_c)
-        dma_c.start()
-        if not iso:
-            dma_k = pltpu.make_async_copy(
-                cov_ref.at[:, pl.ds(S2yc, CWIN), pl.ds(S2xc, CWIN)],
-                cov_win, sem_k)
-            dma_k.start()
-        dma_c.wait()
-        if not iso:
-            dma_k.wait()
+    # ---- geometry
+    center_i = Sy1 + (r_loc + ph_y) // s                     # (B, 1) global
+    center_j = Sx1 + (c_loc + ph_x) // s                     # (1, B)
+    Rrow = (i * B + r_loc).astype(jnp.float32)
+    Ccol = (j * B + c_loc).astype(jnp.float32)
+    lr_y = (Rrow + half) / s
+    lr_x = (Ccol + half) / s
+    lr_mov_y = lr_y + fy
+    lr_mov_x = lr_x + fx
+    inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                  (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
 
-        # ---- geometry
-        center_i = Sy1 + (r_loc + ph_y) // s                     # (B, 1) global
-        center_j = Sx1 + (c_loc + ph_x) // s                     # (1, B)
-        Rrow = (i * B + r_loc).astype(jnp.float32)
-        Ccol = (tx * B + c_loc).astype(jnp.float32)
-        lr_y = (Rrow + half) / s
-        lr_x = (Ccol + half) / s
-        lr_mov_y = lr_y + fy
-        lr_mov_x = lr_x + fx
-        inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
-                      (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
+    local_r = jnp.repeat(jnp.repeat(r_ref[:, t * Ts:(t + 1) * Ts],
+                                    s, axis=0), s, axis=1)
+    wr = jnp.where(inb_center, local_r, 0.0)
 
-        r_tile = r_ref[:, pl.ds(tx * Ts, Ts)]                    # (Ts, Ts)
-        local_r = jnp.repeat(jnp.repeat(r_tile, s, axis=0), s, axis=1)
-        wr = jnp.where(inb_center, local_r, 0.0)
+    # ---- covariance interpolation (phase-enumerated lane reads)
+    if not iso:
+        cup_ref[:] = jnp.repeat(jnp.repeat(cov_win[:], sg, axis=1),
+                                sg, axis=2)
+        kfloor_y = S2y1 + (r_loc + ph2_y) // sg
+        kfloor_x = S2x1 + (c_loc + ph2_x) // sg
+        kmap_y = lr_mov_y / g - half
+        kmap_x = lr_mov_x / g - half
+        frac_y = kmap_y - kfloor_y.astype(jnp.float32)
+        frac_x = kmap_x - kfloor_x.astype(jnp.float32)
 
-        # ---- covariance interpolation (resampled windows)
-        if not iso:
-            cup_ref[:] = jnp.repeat(jnp.repeat(cov_win[:], sg, axis=1),
-                                    sg, axis=2)
-            kfloor_y = S2y1 + (r_loc + ph2_y) // sg
-            kfloor_x = S2x1 + (c_loc + ph2_x) // sg
-            kmap_y = lr_mov_y / g - half
-            kmap_x = lr_mov_x / g - half
-            frac_y = kmap_y - kfloor_y.astype(jnp.float32)
-            frac_x = kmap_x - kfloor_x.astype(jnp.float32)
+        def ctap(dy, dx):
+            return _lane_select(
+                lambda p: cup_ref[:, pl.ds(ph2_y + sg * (dy + 1), B),
+                                  p + sg * (dx + 1):p + sg * (dx + 1) + B],
+                ph2_x, sg)
 
-            def ctap(dy, dx):
-                return cup_ref[:, pl.ds(ph2_y + sg * (dy + 1), B),
-                               pl.ds(ph2_x + sg * (dx + 1), B)]
+        c00 = ctap(0, 0)
+        c01 = ctap(0, 1)
+        c10 = ctap(1, 0)
+        c11 = ctap(1, 1)
+        top = c00 + frac_x[None] * (c01 - c00)
+        bot = c10 + frac_x[None] * (c11 - c10)
+        cc = top + frac_y[None] * (bot - top)
+        det = cc[0] * cc[2] - cc[1] * cc[1]
+        inv_det = 1.0 / det
+        ixx = inv_det * cc[2]
+        ixy = -inv_det * cc[1]
+        iyy = inv_det * cc[0]
 
-            c00 = ctap(0, 0)
-            c01 = ctap(0, 1)
-            c10 = ctap(1, 0)
-            c11 = ctap(1, 1)
-            top = c00 + frac_x[None] * (c01 - c00)
-            bot = c10 + frac_x[None] * (c11 - c10)
-            cc = top + frac_y[None] * (bot - top)
-            det = cc[0] * cc[2] - cc[1] * cc[1]
-            inv_det = 1.0 / det
-            ixx = inv_det * cc[2]
-            ixy = -inv_det * cc[1]
-            iyy = inv_det * cc[0]
+    up_ref[:] = jnp.repeat(jnp.repeat(comp_win[:], s, axis=0), s, axis=1)
 
-        up_ref[:] = jnp.repeat(jnp.repeat(comp_win[:], s, axis=0), s, axis=1)
+    dist_ref_y = lr_mov_y - half
+    dist_ref_x = lr_mov_x - half
 
-        dist_ref_y = lr_mov_y - half
-        dist_ref_x = lr_mov_x - half
+    vals = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
+    accs = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
+    for di in (-1, 0, 1):
+        ig = center_i + di
+        inb_i = (ig >= 0) & (ig < H)
+        pi = ig % 2
+        dist_y = ig.astype(jnp.float32) - dist_ref_y
+        for dj in (-1, 0, 1):
+            jg = center_j + dj
+            inb = inb_i & (jg >= 0) & (jg < W)
+            pj = jg % 2
+            dist_x = jg.astype(jnp.float32) - dist_ref_x
 
-        vals = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
-        accs = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
-        for di in (-1, 0, 1):
-            ig = center_i + di
-            inb_i = (ig >= 0) & (ig < H)
-            pi = ig % 2
-            dist_y = ig.astype(jnp.float32) - dist_ref_y
-            for dj in (-1, 0, 1):
-                jg = center_j + dj
-                inb = inb_i & (jg >= 0) & (jg < W)
-                pj = jg % 2
-                dist_x = jg.astype(jnp.float32) - dist_ref_x
+            c = _lane_select(
+                lambda p: up_ref[pl.ds(ph_y + s * (di + 1), B),
+                                 p + s * (dj + 1):p + s * (dj + 1) + B],
+                ph_x, s)
 
-                c = up_ref[pl.ds(ph_y + s * (di + 1), B),
-                           pl.ds(ph_x + s * (dj + 1), B)]
+            if iso:
+                z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
+            else:
+                z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
+                    + iyy * dist_y * dist_y
+            z = jnp.maximum(z, 0.0)
+            w = jnp.exp(-0.5 * z) * wr * inb
 
-                if iso:
-                    z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
-                else:
-                    z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
-                        + iyy * dist_y * dist_y
-                z = jnp.maximum(z, 0.0)
-                w = jnp.exp(-0.5 * z) * wr * inb
+            if bayer:
+                ch = jnp.where(pi == 0,
+                               jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
+                               jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
+                for k in range(n_ch):
+                    mask = (ch == k).astype(jnp.float32)
+                    vals[k] = vals[k] + w * c * mask
+                    accs[k] = accs[k] + w * mask
+            else:
+                vals[0] = vals[0] + w * c
+                accs[0] = accs[0] + w
 
-                if bayer:
-                    ch = jnp.where(pi == 0,
-                                   jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
-                                   jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
-                    for k in range(n_ch):
-                        mask = (ch == k).astype(jnp.float32)
-                        vals[k] = vals[k] + w * c * mask
-                        accs[k] = accs[k] + w * mask
-                else:
-                    vals[0] = vals[0] + w * c
-                    accs[0] = accs[0] + w
-
-        for k in range(n_ch):
-            val_ref[k, :, pl.ds(tx * B, B)] = vals[k]
-            acc_ref[k, :, pl.ds(tx * B, B)] = accs[k]
-        return 0
-
-    jax.lax.fori_loop(0, ntx, one_tile, 0)
+    for k in range(n_ch):
+        val_ref[k, :, t * B:(t + 1) * B] = vals[k]
+        acc_ref[k, :, t * B:(t + 1) * B] = accs[k]
