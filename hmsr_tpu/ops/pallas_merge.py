@@ -116,6 +116,15 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     r_pad = jnp.pad(r_pad, ((0, 0), (0, NTXP * Ts - r_pad.shape[1])),
                     mode="edge")
 
+    def rep_mats(n, rep):
+        ry = np.kron(np.eye(n, dtype=np.float32), np.ones((rep, 1), np.float32))
+        rx = np.kron(np.eye(n, dtype=np.float32), np.ones((1, rep), np.float32))
+        return jnp.asarray(ry), jnp.asarray(rx)
+
+    rmy, rmx = rep_mats(WIN, s)        # comp window upsample
+    cmy, cmx = rep_mats(CWIN, sg)      # cov window upsample
+    rry, rrx = rep_mats(Ts, s)         # robustness tile upsample
+
     kernel = functools.partial(
         _merge_tile_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
@@ -128,6 +137,12 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
             pl.BlockSpec(memory_space=pl.ANY),       # cov_pad (HBM)
             pl.BlockSpec((Ts, XG * Ts), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),   # r tile group
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # repeat matrices...
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((n_ch, B, XG * B), lambda i, j, *_: (0, i, j),
@@ -151,9 +166,21 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32),
                    jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32)),
         interpret=interpret,
-    )(params_flat, flow_f, comp_pad, cov_pad, r_pad)
+    )(params_flat, flow_f, comp_pad, cov_pad, r_pad,
+      rmy, rmx, cmy, cmx, rry, rrx)
 
     return (num + val[:, :out_h, :out_w], den + acc[:, :out_h, :out_w])
+
+
+def _repeat_mm(x, ry, rx):
+    """Element-interleave repeat along both dims via 0/1-matrix matmuls.
+
+    Mosaic cannot lower lane-dimension jnp.repeat (vector reshape across
+    lanes); x -> Ry @ x @ Rx runs on the MXU instead. The matrices are
+    kernel inputs (Pallas kernels cannot capture array constants).
+    """
+    y = jnp.dot(ry, x, preferred_element_type=jnp.float32)
+    return jnp.dot(y, rx, preferred_element_type=jnp.float32)
 
 
 def _lane_select(read_fn, phase, n_phases):
@@ -165,6 +192,7 @@ def _lane_select(read_fn, phase, n_phases):
 
 
 def _merge_tile_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
+                       rmy, rmx, cmy, cmx, rry, rrx,
                        val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
                        sem_c, sem_k,
                        *, s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
@@ -176,12 +204,14 @@ def _merge_tile_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
     for t in range(XG):
         _one_tile(t, i, jg_ * XG + t, params_ref, flow_ref, comp_ref, cov_ref,
-                  r_ref, val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
+                  r_ref, rmy, rmx, cmy, cmx, rry, rrx,
+                  val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
                   sem_c, sem_k, s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
                   H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
 
 
 def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
+              rmy, rmx, cmy, cmx, rry, rrx,
               val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
               sem_c, sem_k,
               *, s, g, Ts, B, WIN, CWIN, H, W, iso, bayer, n_ch, cfa):
@@ -233,14 +263,13 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
                   (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
 
-    local_r = jnp.repeat(jnp.repeat(r_ref[:, t * Ts:(t + 1) * Ts],
-                                    s, axis=0), s, axis=1)
+    local_r = _repeat_mm(r_ref[:, t * Ts:(t + 1) * Ts], rry[:], rrx[:])
     wr = jnp.where(inb_center, local_r, 0.0)
 
     # ---- covariance interpolation (phase-enumerated lane reads)
     if not iso:
-        cup_ref[:] = jnp.repeat(jnp.repeat(cov_win[:], sg, axis=1),
-                                sg, axis=2)
+        for ch in range(3):
+            cup_ref[ch] = _repeat_mm(cov_win[ch], cmy[:], cmx[:])
         kfloor_y = S2y1 + (r_loc + ph2_y) // sg
         kfloor_x = S2x1 + (c_loc + ph2_x) // sg
         kmap_y = lr_mov_y / g - half
@@ -267,7 +296,7 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         ixy = -inv_det * cc[1]
         iyy = inv_det * cc[0]
 
-    up_ref[:] = jnp.repeat(jnp.repeat(comp_win[:], s, axis=0), s, axis=1)
+    up_ref[:] = _repeat_mm(comp_win[:], rmy[:], rmx[:])
 
     dist_ref_y = lr_mov_y - half
     dist_ref_x = lr_mov_x - half
