@@ -2,18 +2,21 @@
 
 Fuses the whole per-tile computation — window fetch, covariance interpolation
 + inversion, 3x3 kernel-regression accumulation — into one VMEM-resident
-program per HR tile, with the flow-dependent windows fetched by explicit
-async DMA from HBM (BlockSpec index maps cannot express data-dependent
-offsets; scalar-prefetched per-tile parameters drive the DMA).
+program per HR tile group, with flow-dependent windows fetched by async DMA
+from HBM at TILE-ALIGNED offsets (Mosaic DMA slices must respect the (8, 128)
+tiling) and realigned on the MXU:
 
-Mosaic constraints shaping the implementation:
-- no dynamic-slice on values: windows are staged in VMEM scratch refs;
-- no dynamic offsets on the LANE (minor) dimension of vector loads: the
-  lane phase ``ph_x`` lives in [0, s) (and [0, s*g) for the covariance
-  grid), so lane-dynamic reads are an explicit select over the s (or s*g)
-  possible static slices; sublane offsets may be dynamic (pl.ds).
+    U = R_y @ dma_block @ C_x
 
-Grid: one program per alignment tile (nty, ntx). f32 throughout.
+where R_y/C_x are dynamic 0/1 selection matrices built from iota comparisons
+(``R_y[i, j] = (j == rem + (i + ph_y)//s)``). One pair of small matmuls per
+window simultaneously performs the sub-tile alignment shift, the s-fold
+nearest upsampling, and the phase normalization — no dynamic lane indexing
+anywhere (Mosaic cannot lower it).
+
+Grid: (nty, NTXP/XG) with XG tiles per program so every VMEM block's lane
+dimension is 128-divisible. Scalar-prefetched per-tile parameters drive the
+DMAs. f32 throughout (parity with the reference).
 """
 
 import functools
@@ -25,6 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
+
+_DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
+
+
+def _dma_rows(win):
+    """Rows of the aligned DMA block covering a win-row window + 8-alignment."""
+    return -(-(win + 8) // 8) * 8
 
 
 def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
@@ -85,24 +95,37 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     PAD = WIN + 1
     CPAD = CWIN + 1
     gh, gw = covs.shape[1], covs.shape[2]
+    ROWS_C = _dma_rows(WIN)
+    ROWS_K = _dma_rows(CWIN)
+    assert WIN <= 128 and CWIN <= 128
+
+    def pad_to(x, rows_to, cols_to, extra_rows=0, extra_cols=0):
+        h0, w0 = x.shape[-2:]
+        pr = (-h0) % rows_to + extra_rows
+        pc = (-w0) % cols_to + extra_cols
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, pr), (0, pc)]
+        return jnp.pad(x, pad)
 
     comp_pad = jnp.pad(comp_img, ((PAD, PAD), (PAD, PAD)))
+    comp_pad = pad_to(comp_pad, ROWS_C, _DMA_COLS,
+                      extra_rows=ROWS_C, extra_cols=_DMA_COLS)
     cov_pad = jnp.pad(covs, ((0, 0), (CPAD, CPAD), (CPAD, CPAD)), mode="edge")
     cov_pad = cov_pad.at[:, CPAD - 1, :].set(
         2.0 * cov_pad[:, CPAD, :] - cov_pad[:, CPAD + 1, :])
     cov_pad = cov_pad.at[:, :, CPAD - 1].set(
         2.0 * cov_pad[:, :, CPAD] - cov_pad[:, :, CPAD + 1])
-    r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, ntx * Ts - W)), mode="edge")
+    cov_pad = pad_to(cov_pad, ROWS_K, _DMA_COLS,
+                     extra_rows=ROWS_K, extra_cols=_DMA_COLS)
 
     # tiles per program along x so every block's lane dim is 128-divisible
-    XG = max(1, 128 // np.gcd(Ts, 128))
+    XG = max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
+    r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, NTXP * Ts - W)), mode="edge")
 
     params = _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw,
                                      PAD, CPAD, WIN, CWIN)
     params = params[:nty, :ntx]
     if NTXP != ntx:
-        # padding tiles: fully masked (ok=0), safe zero offsets
         fill = jnp.zeros((nty, NTXP - ntx, 14), params.dtype)
         params = jnp.concatenate([params, fill], axis=1)
     params_flat = params.reshape(nty, NTXP * 14)
@@ -112,37 +135,25 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
             [flow_t, jnp.zeros((nty, NTXP - ntx, 2), DEFAULT_FLOAT)], axis=1)
     flow_f = flow_t.reshape(nty, NTXP * 2)
 
-    # r padded to the grouped tile grid
-    r_pad = jnp.pad(r_pad, ((0, 0), (0, NTXP * Ts - r_pad.shape[1])),
-                    mode="edge")
-
-    def rep_mats(n, rep):
-        ry = np.kron(np.eye(n, dtype=np.float32), np.ones((rep, 1), np.float32))
-        rx = np.kron(np.eye(n, dtype=np.float32), np.ones((1, rep), np.float32))
-        return jnp.asarray(ry), jnp.asarray(rx)
-
-    rmy, rmx = rep_mats(WIN, s)        # comp window upsample
-    cmy, cmx = rep_mats(CWIN, sg)      # cov window upsample
-    rry, rrx = rep_mats(Ts, s)         # robustness tile upsample
+    rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
+                              np.ones((s, 1), np.float32)))
+    rrx = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
+                              np.ones((1, s), np.float32)))
 
     kernel = functools.partial(
-        _merge_tile_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
+        _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                       # params row, flow row
+        num_scalar_prefetch=2,
         grid=(nty, NTXP // XG),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # comp_pad (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # cov_pad (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # comp_pad
+            pl.BlockSpec(memory_space=pltpu.HBM),    # cov_pad
             pl.BlockSpec((Ts, XG * Ts), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),   # r tile group
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # repeat matrices...
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rry
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rrx
         ],
         out_specs=[
             pl.BlockSpec((n_ch, B, XG * B), lambda i, j, *_: (0, i, j),
@@ -151,10 +162,8 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WIN, WIN), jnp.float32),
-            pltpu.VMEM((3, CWIN, CWIN), jnp.float32),
-            pltpu.VMEM((WIN * s, WIN * s), jnp.float32),
-            pltpu.VMEM((3, CWIN * sg, CWIN * sg), jnp.float32),
+            pltpu.VMEM((ROWS_C, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((3, ROWS_K, _DMA_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -166,65 +175,47 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32),
                    jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32)),
         interpret=interpret,
-    )(params_flat, flow_f, comp_pad, cov_pad, r_pad,
-      rmy, rmx, cmy, cmx, rry, rrx)
+    )(params_flat, flow_f, comp_pad, cov_pad, r_pad, rry, rrx)
 
     return (num + val[:, :out_h, :out_w], den + acc[:, :out_h, :out_w])
 
 
-def _repeat_mm(x, ry, rx):
-    """Element-interleave repeat along both dims via 0/1-matrix matmuls.
-
-    Mosaic cannot lower lane-dimension jnp.repeat (vector reshape across
-    lanes); x -> Ry @ x @ Rx runs on the MXU instead. The matrices are
-    kernel inputs (Pallas kernels cannot capture array constants).
-    """
-    y = jnp.dot(ry, x, preferred_element_type=jnp.float32)
-    return jnp.dot(y, rx, preferred_element_type=jnp.float32)
+def _selection_rows(n_out, n_in, rem, ph, rep):
+    """R[i, j] = 1.0 where j == rem + (i + ph)//rep  — (n_out, n_in) f32."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    return (jj == rem + (ii + ph) // rep).astype(jnp.float32)
 
 
-def _lane_select(read_fn, phase, n_phases):
-    """Select among n static lane offsets by the runtime phase scalar."""
-    out = read_fn(0)
-    for p in range(1, n_phases):
-        out = jnp.where(phase == p, read_fn(p), out)
-    return out
-
-
-def _merge_tile_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-                       rmy, rmx, cmy, cmx, rry, rrx,
-                       val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
-                       sem_c, sem_k,
-                       *, s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
-                       n_ch, cfa):
+def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
+                        rry, rrx, val_ref, acc_ref, comp_win, cov_win,
+                        sem_c, sem_k,
+                        *, s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
+                        n_ch, cfa):
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
-    sg = s * g
-    half = jnp.float32(0.5)
-
     for t in range(XG):
         _one_tile(t, i, jg_ * XG + t, params_ref, flow_ref, comp_ref, cov_ref,
-                  r_ref, rmy, rmx, cmy, cmx, rry, rrx,
-                  val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
+                  r_ref, rry, rrx, val_ref, acc_ref, comp_win, cov_win,
                   sem_c, sem_k, s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
                   H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
 
 
 def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-              rmy, rmx, cmy, cmx, rry, rrx,
-              val_ref, acc_ref, comp_win, cov_win, up_ref, cup_ref,
-              sem_c, sem_k,
+              rry, rrx, val_ref, acc_ref, comp_win, cov_win, sem_c, sem_k,
               *, s, g, Ts, B, WIN, CWIN, H, W, iso, bayer, n_ch, cfa):
     sg = s * g
     half = jnp.float32(0.5)
+    SEG = B + 2 * s
+    CSEG = B + 2 * sg
 
     p0 = j * 14
-    Syc = params_ref[i, p0 + 0]
-    Sxc = params_ref[i, p0 + 1]
+    Syp = params_ref[i, p0 + 0]        # window start in padded coords
+    Sxp = params_ref[i, p0 + 1]
     ph_y = params_ref[i, p0 + 2]
     ph_x = params_ref[i, p0 + 3]
-    S2yc = params_ref[i, p0 + 4]
-    S2xc = params_ref[i, p0 + 5]
+    S2yp = params_ref[i, p0 + 4]
+    S2xp = params_ref[i, p0 + 5]
     ph2_y = params_ref[i, p0 + 6]
     ph2_x = params_ref[i, p0 + 7]
     Sy1 = params_ref[i, p0 + 8]
@@ -235,25 +226,34 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     fx = flow_ref[i, j * 2 + 0]
     fy = flow_ref[i, j * 2 + 1]
 
-    r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)      # (B, 1)
-    c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)      # (1, B)
-
-    # ---- DMA the comp / cov windows for this tile into VMEM
+    # ---- tile-aligned DMA of the windows
+    ry_al = (Syp // 8) * 8
+    rx_al = (Sxp // 128) * 128
+    dy = Syp - ry_al
+    dx = Sxp - rx_al
     dma_c = pltpu.make_async_copy(
-        comp_ref.at[pl.ds(Syc, WIN), pl.ds(Sxc, WIN)], comp_win, sem_c)
+        comp_ref.at[pl.ds(ry_al, comp_win.shape[0]),
+                    pl.ds(rx_al, comp_win.shape[1])], comp_win, sem_c)
     dma_c.start()
     if not iso:
+        r2y_al = (S2yp // 8) * 8
+        r2x_al = (S2xp // 128) * 128
+        dy2 = S2yp - r2y_al
+        dx2 = S2xp - r2x_al
         dma_k = pltpu.make_async_copy(
-            cov_ref.at[:, pl.ds(S2yc, CWIN), pl.ds(S2xc, CWIN)],
-            cov_win, sem_k)
+            cov_ref.at[:, pl.ds(r2y_al, cov_win.shape[1]),
+                       pl.ds(r2x_al, cov_win.shape[2])], cov_win, sem_k)
         dma_k.start()
     dma_c.wait()
     if not iso:
         dma_k.wait()
 
+    r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)      # (B, 1)
+    c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)      # (1, B)
+
     # ---- geometry
-    center_i = Sy1 + (r_loc + ph_y) // s                     # (B, 1) global
-    center_j = Sx1 + (c_loc + ph_x) // s                     # (1, B)
+    center_i = Sy1 + (r_loc + ph_y) // s
+    center_j = Sx1 + (c_loc + ph_x) // s
     Rrow = (i * B + r_loc).astype(jnp.float32)
     Ccol = (j * B + c_loc).astype(jnp.float32)
     lr_y = (Rrow + half) / s
@@ -263,13 +263,26 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
                   (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
 
-    local_r = _repeat_mm(r_ref[:, t * Ts:(t + 1) * Ts], rry[:], rrx[:])
+    local_r = jnp.dot(jnp.dot(rry[:], r_ref[:, t * Ts:(t + 1) * Ts],
+                              preferred_element_type=jnp.float32), rrx[:],
+                      preferred_element_type=jnp.float32)
     wr = jnp.where(inb_center, local_r, 0.0)
 
-    # ---- covariance interpolation (phase-enumerated lane reads)
+    # ---- selection-matmul realignment + upsampling: U = R @ dma @ C
+    Rsel = _selection_rows(SEG, comp_win.shape[0], dy, ph_y, s)
+    Csel = _selection_rows(SEG, comp_win.shape[1], dx, ph_x, s).T
+    U = jnp.dot(jnp.dot(Rsel, comp_win[:],
+                        preferred_element_type=jnp.float32), Csel,
+                preferred_element_type=jnp.float32)        # (SEG, SEG)
+
     if not iso:
-        for ch in range(3):
-            cup_ref[ch] = _repeat_mm(cov_win[ch], cmy[:], cmx[:])
+        R2 = _selection_rows(CSEG, cov_win.shape[1], dy2, ph2_y, sg)
+        C2 = _selection_rows(CSEG, cov_win.shape[2], dx2, ph2_x, sg).T
+        cc_win = [jnp.dot(jnp.dot(R2, cov_win[ch],
+                                  preferred_element_type=jnp.float32), C2,
+                          preferred_element_type=jnp.float32)
+                  for ch in range(3)]                      # 3 x (CSEG, CSEG)
+
         kfloor_y = S2y1 + (r_loc + ph2_y) // sg
         kfloor_x = S2x1 + (c_loc + ph2_x) // sg
         kmap_y = lr_mov_y / g - half
@@ -277,26 +290,24 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         frac_y = kmap_y - kfloor_y.astype(jnp.float32)
         frac_x = kmap_x - kfloor_x.astype(jnp.float32)
 
-        def ctap(dy, dx):
-            return _lane_select(
-                lambda p: cup_ref[:, pl.ds(ph2_y + sg * (dy + 1), B),
-                                  p + sg * (dx + 1):p + sg * (dx + 1) + B],
-                ph2_x, sg)
+        def ctap(ch, dyy, dxx):
+            return cc_win[ch][sg * (dyy + 1):sg * (dyy + 1) + B,
+                              sg * (dxx + 1):sg * (dxx + 1) + B]
 
-        c00 = ctap(0, 0)
-        c01 = ctap(0, 1)
-        c10 = ctap(1, 0)
-        c11 = ctap(1, 1)
-        top = c00 + frac_x[None] * (c01 - c00)
-        bot = c10 + frac_x[None] * (c11 - c10)
-        cc = top + frac_y[None] * (bot - top)
+        cc = []
+        for ch in range(3):
+            c00 = ctap(ch, 0, 0)
+            c01 = ctap(ch, 0, 1)
+            c10 = ctap(ch, 1, 0)
+            c11 = ctap(ch, 1, 1)
+            top = c00 + frac_x * (c01 - c00)
+            bot = c10 + frac_x * (c11 - c10)
+            cc.append(top + frac_y * (bot - top))
         det = cc[0] * cc[2] - cc[1] * cc[1]
         inv_det = 1.0 / det
         ixx = inv_det * cc[2]
         ixy = -inv_det * cc[1]
         iyy = inv_det * cc[0]
-
-    up_ref[:] = _repeat_mm(comp_win[:], rmy[:], rmx[:])
 
     dist_ref_y = lr_mov_y - half
     dist_ref_x = lr_mov_x - half
@@ -314,10 +325,8 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             pj = jg % 2
             dist_x = jg.astype(jnp.float32) - dist_ref_x
 
-            c = _lane_select(
-                lambda p: up_ref[pl.ds(ph_y + s * (di + 1), B),
-                                 p + s * (dj + 1):p + s * (dj + 1) + B],
-                ph_x, s)
+            c = U[s * (di + 1):s * (di + 1) + B,
+                  s * (dj + 1):s * (dj + 1) + B]
 
             if iso:
                 z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
