@@ -128,12 +128,12 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     if NTXP != ntx:
         fill = jnp.zeros((nty, NTXP - ntx, 14), params.dtype)
         params = jnp.concatenate([params, fill], axis=1)
-    params_flat = params.reshape(nty, NTXP * 14)
+    params_flat = params.reshape(nty, 1, NTXP * 14)
     flow_t = flow[:nty, :ntx].astype(DEFAULT_FLOAT)
     if NTXP != ntx:
         flow_t = jnp.concatenate(
             [flow_t, jnp.zeros((nty, NTXP - ntx, 2), DEFAULT_FLOAT)], axis=1)
-    flow_f = flow_t.reshape(nty, NTXP * 2)
+    flow_f = flow_t.reshape(nty, 1, NTXP * 2)
 
     rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
                               np.ones((s, 1), np.float32)))
@@ -144,21 +144,25 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    grid_spec = pl.GridSpec(
         grid=(nty, NTXP // XG),
         in_specs=[
+            # per-row SMEM parameter blocks (full prefetch would blow SMEM)
+            pl.BlockSpec((1, 1, NTXP * 14), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # params row
+            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # flow row
             pl.BlockSpec(memory_space=pltpu.HBM),    # comp_pad
             pl.BlockSpec(memory_space=pltpu.HBM),    # cov_pad
-            pl.BlockSpec((Ts, XG * Ts), lambda i, j, *_: (i, j),
+            pl.BlockSpec((Ts, XG * Ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),   # r tile group
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rry
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rrx
         ],
         out_specs=[
-            pl.BlockSpec((n_ch, B, XG * B), lambda i, j, *_: (0, i, j),
+            pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch, B, XG * B), lambda i, j, *_: (0, i, j),
+            pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -210,21 +214,21 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     CSEG = B + 2 * sg
 
     p0 = j * 14
-    Syp = params_ref[i, p0 + 0]        # window start in padded coords
-    Sxp = params_ref[i, p0 + 1]
-    ph_y = params_ref[i, p0 + 2]
-    ph_x = params_ref[i, p0 + 3]
-    S2yp = params_ref[i, p0 + 4]
-    S2xp = params_ref[i, p0 + 5]
-    ph2_y = params_ref[i, p0 + 6]
-    ph2_x = params_ref[i, p0 + 7]
-    Sy1 = params_ref[i, p0 + 8]
-    Sx1 = params_ref[i, p0 + 9]
-    S2y1 = params_ref[i, p0 + 10]
-    S2x1 = params_ref[i, p0 + 11]
-    ok = params_ref[i, p0 + 12]
-    fx = flow_ref[i, j * 2 + 0]
-    fy = flow_ref[i, j * 2 + 1]
+    Syp = params_ref[0, 0, p0 + 0]        # window start in padded coords
+    Sxp = params_ref[0, 0, p0 + 1]
+    ph_y = params_ref[0, 0, p0 + 2]
+    ph_x = params_ref[0, 0, p0 + 3]
+    S2yp = params_ref[0, 0, p0 + 4]
+    S2xp = params_ref[0, 0, p0 + 5]
+    ph2_y = params_ref[0, 0, p0 + 6]
+    ph2_x = params_ref[0, 0, p0 + 7]
+    Sy1 = params_ref[0, 0, p0 + 8]
+    Sx1 = params_ref[0, 0, p0 + 9]
+    S2y1 = params_ref[0, 0, p0 + 10]
+    S2x1 = params_ref[0, 0, p0 + 11]
+    ok = params_ref[0, 0, p0 + 12]
+    fx = flow_ref[0, 0, j * 2 + 0]
+    fy = flow_ref[0, 0, j * 2 + 1]
 
     # ---- tile-aligned DMA of the windows
     ry_al = (Syp // 8) * 8
@@ -263,24 +267,28 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
                   (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
 
+    hi = jax.lax.Precision.HIGHEST      # exact f32 (0/1 selection matmuls)
     local_r = jnp.dot(jnp.dot(rry[:], r_ref[:, t * Ts:(t + 1) * Ts],
-                              preferred_element_type=jnp.float32), rrx[:],
-                      preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=hi), rrx[:],
+                      preferred_element_type=jnp.float32, precision=hi)
     wr = jnp.where(inb_center, local_r, 0.0)
 
     # ---- selection-matmul realignment + upsampling: U = R @ dma @ C
     Rsel = _selection_rows(SEG, comp_win.shape[0], dy, ph_y, s)
     Csel = _selection_rows(SEG, comp_win.shape[1], dx, ph_x, s).T
     U = jnp.dot(jnp.dot(Rsel, comp_win[:],
-                        preferred_element_type=jnp.float32), Csel,
-                preferred_element_type=jnp.float32)        # (SEG, SEG)
+                        preferred_element_type=jnp.float32, precision=hi),
+                Csel, preferred_element_type=jnp.float32,
+                precision=hi)                              # (SEG, SEG)
 
     if not iso:
         R2 = _selection_rows(CSEG, cov_win.shape[1], dy2, ph2_y, sg)
         C2 = _selection_rows(CSEG, cov_win.shape[2], dx2, ph2_x, sg).T
         cc_win = [jnp.dot(jnp.dot(R2, cov_win[ch],
-                                  preferred_element_type=jnp.float32), C2,
-                          preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi), C2,
+                          preferred_element_type=jnp.float32, precision=hi)
                   for ch in range(3)]                      # 3 x (CSEG, CSEG)
 
         kfloor_y = S2y1 + (r_loc + ph2_y) // sg
