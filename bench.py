@@ -63,12 +63,17 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3):
     CFA = np.array([[0, 1], [1, 2]])
 
     frames = make_burst(h, w, n_frames, ALPHA, BETA)
+    import os
     config = default_config()
     config.scale = 2
     config.verbose = 0
     config.noise_model.alpha = ALPHA
     config.noise_model.beta = BETA
     config.accumulated_robustness_denoiser.enabled = False
+    if os.environ.get("HMSR_PIPELINE"):
+        config.tpu.pipeline = os.environ["HMSR_PIPELINE"]
+    if os.environ.get("HMSR_MERGE_IMPL"):
+        config.tpu.merge_impl = os.environ["HMSR_MERGE_IMPL"]
 
     brightness = float(frames[0].mean())
     snr = brightness / std_curve[int(round(1000 * brightness))]
