@@ -34,6 +34,13 @@ from .merge_slab import merge_burst_slab
 from .robustness import compute_robustness, init_robustness
 
 
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _use_tiled(config):
     impl = config.get("tpu", {}).get("merge_impl", "auto")
     integer_scale = float(config.scale) == int(config.scale)
@@ -45,10 +52,11 @@ def _use_tiled(config):
 
 
 def select_merge(config):
-    """Pick the merge implementation: tiled (TPU fast path) when the scale is
-    a positive integer, else the reference-layout gather path. ``pallas``
-    selects the fused Pallas kernel (hmsr_tpu.ops.pallas_merge)."""
-    if config.get("tpu", {}).get("merge_impl", "auto") == "pallas":
+    """Pick the merge implementation: the fused Pallas kernel on TPU, the
+    tiled XLA fast path elsewhere (integer scales), and the exact
+    reference-layout gather path for fractional scales."""
+    impl = config.get("tpu", {}).get("merge_impl", "auto")
+    if impl == "pallas" or (impl == "auto" and _use_tiled(config) and _on_tpu()):
         from ..ops.pallas_merge import merge_pallas
         return merge_pallas
     return merge_tiled if _use_tiled(config) else merge
@@ -121,8 +129,12 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
     noise_curves = (std_curve, diff_curve)
-    fused = (config.get("tpu", {}).get("pipeline", "fused") == "fused"
-             and _use_tiled(config))
+    pipe_mode = config.get("tpu", {}).get("pipeline", "auto")
+    if pipe_mode == "auto":
+        # on TPU the scan pipeline + Pallas merge kernel is fastest; the
+        # fused-slab path is better for XLA-only backends
+        pipe_mode = "scan" if _on_tpu() else "fused"
+    fused = pipe_mode == "fused" and _use_tiled(config)
 
     debug = {}
     if fused:

@@ -137,10 +137,9 @@ def init_robustness(ref_raw, cfa_pattern, white_balance, noise_curves, config):
         out_shape = (guide.shape[1] * upscale, guide.shape[2] * upscale)
         zero_flow = jnp.zeros((-(-out_shape[0] // Ts), -(-out_shape[1] // Ts), 2),
                               DEFAULT_FLOAT)
-        hr_means, valid_m = upscale_warp_stats_tiled(means, upscale, Ts,
-                                                     zero_flow, out_shape)
-        hr_stds, _ = upscale_warp_stats_tiled(stds, upscale, Ts, zero_flow,
-                                              out_shape)
+        hr_means, valid_m = _warp(means, upscale, Ts, zero_flow, out_shape,
+                                  config)
+        hr_stds, _ = _warp(stds, upscale, Ts, zero_flow, out_shape, config)
     else:
         hr_means, valid_m = upscale_warp_stats(means, upscale)
         hr_stds, _ = upscale_warp_stats(stds, upscale)
@@ -154,8 +153,26 @@ def init_robustness(ref_raw, cfa_pattern, white_balance, noise_curves, config):
     return RefStats(means=hr_means, d_t=d_t, sigma_sq=sigma_sq, valid=valid_m)
 
 
+def _warp_impl(config):
+    impl = config.get("tpu", {}).get("robustness_impl", "auto")
+    if impl == "auto":
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        return "pallas" if platform in ("tpu", "axon") else "tiled"
+    return impl
+
+
 def _use_tiled_warp(config):
-    return config.get("tpu", {}).get("robustness_impl", "auto") != "gather"
+    return _warp_impl(config) != "gather"
+
+
+def _warp(stats, upscale, tile_size, flow, out_shape, config):
+    if _warp_impl(config) == "pallas":
+        from ..ops.pallas_warp import upscale_warp_pallas
+        return upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape)
+    return upscale_warp_stats_tiled(stats, upscale, tile_size, flow, out_shape)
 
 
 def apply_noise_model(d_p, ref_means, ref_stds, std_curve, diff_curve):
@@ -214,8 +231,8 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
     comp_means, _ = local_stats_3x3(guide)
     if _use_tiled_warp(config):
         out_shape = (guide.shape[1] * upscale, guide.shape[2] * upscale)
-        comp_means, comp_valid = upscale_warp_stats_tiled(
-            comp_means, upscale, tile_size, flow, out_shape)
+        comp_means, comp_valid = _warp(comp_means, upscale, tile_size, flow,
+                                       out_shape, config)
     else:
         comp_means, comp_valid = upscale_warp_stats(comp_means, upscale,
                                                     tile_size=tile_size,

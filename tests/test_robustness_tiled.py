@@ -53,3 +53,41 @@ def test_huge_flow_all_invalid():
     flow = jnp.full((1, 1, 2), 1e6, jnp.float32)
     got, valid = upscale_warp_stats_tiled(stats, 2, 16, flow, (16, 16))
     assert not bool(np.asarray(valid).any())
+
+
+# ---------------------------------------------------------------------------
+# Pallas warp kernel (interpret mode) vs the tiled implementation
+# ---------------------------------------------------------------------------
+
+from hmsr_tpu.ops.pallas_warp import upscale_warp_pallas
+
+
+@pytest.mark.parametrize("upscale", [1, 2])
+@pytest.mark.parametrize("seed", [0, 4])
+def test_pallas_warp_matches_tiled(upscale, seed):
+    rng = np.random.RandomState(seed)
+    lh, lw = 24, 40
+    H, W = lh * upscale, lw * upscale
+    Ts = 16
+    stats = rng.rand(3, lh, lw).astype(np.float32)
+    ny, nx = -(-H // Ts), -(-W // Ts)
+    flow = ((rng.rand(ny, nx, 2) * 2 - 1) * 6).astype(np.float32)
+
+    want, wvalid = upscale_warp_stats_tiled(jnp.asarray(stats), upscale, Ts,
+                                            jnp.asarray(flow), (H, W),
+                                            band_tile_rows=1)
+    got, gvalid = upscale_warp_pallas(jnp.asarray(stats), upscale, Ts,
+                                      jnp.asarray(flow), (H, W),
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(gvalid), np.asarray(wvalid))
+    m = np.asarray(wvalid)
+    np.testing.assert_allclose(np.asarray(got)[:, m], np.asarray(want)[:, m],
+                               atol=1e-5)
+
+
+def test_pallas_warp_huge_flow():
+    stats = jnp.ones((1, 16, 16))
+    flow = jnp.full((2, 2, 2), 1e6, jnp.float32)
+    got, valid = upscale_warp_pallas(stats, 2, 16, flow, (32, 32),
+                                     interpret=True)
+    assert not bool(np.asarray(valid).any())
