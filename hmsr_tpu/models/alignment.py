@@ -23,6 +23,7 @@ levels, unrolled under jit.
 
 from typing import List, NamedTuple
 
+import jax
 import jax.image
 import jax.numpy as jnp
 
@@ -108,8 +109,19 @@ def align(ref_state, moving_grey, config):
     t = config.block_matching.tuning
     n_iter = config.ica.tuning.n_iter
     backend = config.get("tpu", {}).get("correlation", "direct")
-    ica_fn = refine_ica if config.get("tpu", {}).get("ica_impl", "auto") == "gather" \
-        else refine_ica_tiled
+    ica_impl = config.get("tpu", {}).get("ica_impl", "auto")
+    if ica_impl == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        ica_impl = "pallas" if on_tpu else "tiled"
+    if ica_impl == "pallas":
+        from ..ops.pallas_ica import refine_ica_pallas as ica_fn
+    elif ica_impl == "gather":
+        ica_fn = refine_ica
+    else:
+        ica_fn = refine_ica_tiled
 
     moving_pyramid = build_gaussian_pyramid(moving_grey, t.factors)
     levels = _level_tile_sizes(config)

@@ -191,3 +191,36 @@ class TestTiledICA:
         b = np.asarray(refine_ica_tiled(jnp.asarray(img), state, jnp.asarray(img),
                                         flow0, 16, n_iter=2))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestPallasICA:
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_matches_tiled(self, seed):
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.ops.pallas_ica import refine_ica_pallas
+        rng = np.random.RandomState(seed)
+        img = smooth_image(64, 80, seed=seed)
+        mov = shifted(img, 0.6, -1.1)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        flow0 = jnp.asarray((rng.rand(4, 5, 2) * 8 - 4).astype(np.float32))
+        a = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                        jnp.asarray(mov), flow0, ts, 3))
+        b = np.asarray(refine_ica_pallas(jnp.asarray(img), state,
+                                         jnp.asarray(mov), flow0, ts, 3,
+                                         interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_extreme_flow(self):
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.ops.pallas_ica import refine_ica_pallas
+        img = smooth_image(32, 32, seed=7)
+        state = init_ica(jnp.asarray(img), 16)
+        flow0 = jnp.asarray(np.array([[[500.0, -700.0], [-3.9, 2.2]],
+                                      [[0.1, -0.1], [30.0, 30.0]]], np.float32))
+        a = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                        jnp.asarray(img), flow0, 16, 2))
+        b = np.asarray(refine_ica_pallas(jnp.asarray(img), state,
+                                         jnp.asarray(img), flow0, 16, 2,
+                                         interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
