@@ -116,12 +116,17 @@ def align(ref_state, moving_grey, config):
         except Exception:
             on_tpu = False
         ica_impl = "pallas" if on_tpu else "tiled"
-    if ica_impl == "pallas":
-        from ..ops.pallas_ica import refine_ica_pallas as ica_fn
-    elif ica_impl == "gather":
-        ica_fn = refine_ica
-    else:
-        ica_fn = refine_ica_tiled
+
+    def pick_ica(n_tiles):
+        # The Pallas kernel wins on big tile grids (the finest level dominates
+        # runtime) but each instance costs minutes of Mosaic compile time, so
+        # coarse levels stay on the tiled XLA path.
+        if ica_impl == "pallas" and n_tiles >= 4000:
+            from ..ops.pallas_ica import refine_ica_pallas
+            return refine_ica_pallas
+        if ica_impl == "gather":
+            return refine_ica
+        return refine_ica_tiled
 
     moving_pyramid = build_gaussian_pyramid(moving_grey, t.factors)
     levels = _level_tile_sizes(config)
@@ -148,6 +153,7 @@ def align(ref_state, moving_grey, config):
         else:
             raise ValueError(f"Unknown block matching metric {metric}")
 
+        ica_fn = pick_ica(npatches[0] * npatches[1])
         flow = ica_fn(ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter)
 
     return flow
