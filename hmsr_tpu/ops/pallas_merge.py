@@ -166,10 +166,10 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROWS_C, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((3, ROWS_K, _DMA_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((2, 3, ROWS_K, _DMA_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -191,6 +191,54 @@ def _selection_rows(n_out, n_in, rem, ph, rep):
     return (jj == rem + (ii + ph) // rep).astype(jnp.float32)
 
 
+def _start_dmas(slot, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
+                sem_c, sem_k, iso):
+    """Kick off the window DMAs for tile j into buffer ``slot``."""
+    p0 = j * 14
+    Syp = params_ref[0, 0, p0 + 0]
+    Sxp = params_ref[0, 0, p0 + 1]
+    ry_al = (Syp // 8) * 8
+    rx_al = (Sxp // 128) * 128
+    dma_c = pltpu.make_async_copy(
+        comp_ref.at[pl.ds(ry_al, comp_win.shape[1]),
+                    pl.ds(rx_al, comp_win.shape[2])],
+        comp_win.at[slot], sem_c.at[slot])
+    dma_c.start()
+    if not iso:
+        S2yp = params_ref[0, 0, p0 + 4]
+        S2xp = params_ref[0, 0, p0 + 5]
+        r2y_al = (S2yp // 8) * 8
+        r2x_al = (S2xp // 128) * 128
+        dma_k = pltpu.make_async_copy(
+            cov_ref.at[:, pl.ds(r2y_al, cov_win.shape[2]),
+                       pl.ds(r2x_al, cov_win.shape[3])],
+            cov_win.at[slot], sem_k.at[slot])
+        dma_k.start()
+    return dma_c
+
+
+def _wait_dmas(slot, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
+               sem_c, sem_k, iso):
+    p0 = j * 14
+    Syp = params_ref[0, 0, p0 + 0]
+    Sxp = params_ref[0, 0, p0 + 1]
+    ry_al = (Syp // 8) * 8
+    rx_al = (Sxp // 128) * 128
+    pltpu.make_async_copy(
+        comp_ref.at[pl.ds(ry_al, comp_win.shape[1]),
+                    pl.ds(rx_al, comp_win.shape[2])],
+        comp_win.at[slot], sem_c.at[slot]).wait()
+    if not iso:
+        S2yp = params_ref[0, 0, p0 + 4]
+        S2xp = params_ref[0, 0, p0 + 5]
+        r2y_al = (S2yp // 8) * 8
+        r2x_al = (S2xp // 128) * 128
+        pltpu.make_async_copy(
+            cov_ref.at[:, pl.ds(r2y_al, cov_win.shape[2]),
+                       pl.ds(r2x_al, cov_win.shape[3])],
+            cov_win.at[slot], sem_k.at[slot]).wait()
+
+
 def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         rry, rrx, val_ref, acc_ref, comp_win, cov_win,
                         sem_c, sem_k,
@@ -198,15 +246,25 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         n_ch, cfa):
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
+    # double-buffered window DMA across the tile group (hides DMA latency)
+    _start_dmas(0, jg_ * XG, params_ref, comp_ref, cov_ref, comp_win, cov_win,
+                sem_c, sem_k, iso)
     for t in range(XG):
-        _one_tile(t, i, jg_ * XG + t, params_ref, flow_ref, comp_ref, cov_ref,
-                  r_ref, rry, rrx, val_ref, acc_ref, comp_win, cov_win,
-                  sem_c, sem_k, s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
+        j = jg_ * XG + t
+        if t + 1 < XG:
+            _start_dmas((t + 1) % 2, j + 1, params_ref, comp_ref, cov_ref,
+                        comp_win, cov_win, sem_c, sem_k, iso)
+        _wait_dmas(t % 2, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
+                   sem_c, sem_k, iso)
+        _one_tile(t, i, j, params_ref, flow_ref,
+                  r_ref, rry, rrx, val_ref, acc_ref,
+                  comp_win.at[t % 2], cov_win.at[t % 2],
+                  s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
                   H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
 
 
-def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-              rry, rrx, val_ref, acc_ref, comp_win, cov_win, sem_c, sem_k,
+def _one_tile(t, i, j, params_ref, flow_ref, r_ref,
+              rry, rrx, val_ref, acc_ref, comp_win, cov_win,
               *, s, g, Ts, B, WIN, CWIN, H, W, iso, bayer, n_ch, cfa):
     sg = s * g
     half = jnp.float32(0.5)
@@ -230,27 +288,13 @@ def _one_tile(t, i, j, params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     fx = flow_ref[0, 0, j * 2 + 0]
     fy = flow_ref[0, 0, j * 2 + 1]
 
-    # ---- tile-aligned DMA of the windows
-    ry_al = (Syp // 8) * 8
-    rx_al = (Sxp // 128) * 128
-    dy = Syp - ry_al
-    dx = Sxp - rx_al
-    dma_c = pltpu.make_async_copy(
-        comp_ref.at[pl.ds(ry_al, comp_win.shape[0]),
-                    pl.ds(rx_al, comp_win.shape[1])], comp_win, sem_c)
-    dma_c.start()
+    # window DMAs were issued by the group loop (double buffered); compute
+    # the in-buffer remainders
+    dy = Syp - (Syp // 8) * 8
+    dx = Sxp - (Sxp // 128) * 128
     if not iso:
-        r2y_al = (S2yp // 8) * 8
-        r2x_al = (S2xp // 128) * 128
-        dy2 = S2yp - r2y_al
-        dx2 = S2xp - r2x_al
-        dma_k = pltpu.make_async_copy(
-            cov_ref.at[:, pl.ds(r2y_al, cov_win.shape[1]),
-                       pl.ds(r2x_al, cov_win.shape[2])], cov_win, sem_k)
-        dma_k.start()
-    dma_c.wait()
-    if not iso:
-        dma_k.wait()
+        dy2 = S2yp - (S2yp // 8) * 8
+        dx2 = S2xp - (S2xp // 128) * 128
 
     r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)      # (B, 1)
     c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)      # (1, B)
