@@ -246,7 +246,9 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         n_ch, cfa):
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
-    # double-buffered window DMA across the tile group (hides DMA latency)
+    # Phase 1 (per tile, double-buffered DMA): fetch + realign windows and
+    # interpolate/invert covariances. Per-tile results are kept as values.
+    tiles = []
     _start_dmas(0, jg_ * XG, params_ref, comp_ref, cov_ref, comp_win, cov_win,
                 sem_c, sem_k, iso)
     for t in range(XG):
@@ -256,16 +258,73 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         comp_win, cov_win, sem_c, sem_k, iso)
         _wait_dmas(t % 2, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
                    sem_c, sem_k, iso)
-        _one_tile(t, i, j, params_ref, flow_ref,
-                  r_ref, rry, rrx, val_ref, acc_ref,
-                  comp_win.at[t % 2], cov_win.at[t % 2],
-                  s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
-                  H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
+        tiles.append(_prep_tile(t, i, j, params_ref, flow_ref, r_ref, rry, rrx,
+                                comp_win.at[t % 2], cov_win.at[t % 2],
+                                s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
+                                H=H, W=W, iso=iso))
+
+    # Phase 2 (group-wide slabs): all tap math on (B, XG*B) arrays.
+    def cat(key):
+        return jnp.concatenate([tl[key] for tl in tiles], axis=-1)
+
+    U_taps = {}
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            U_taps[(di, dj)] = jnp.concatenate(
+                [tl["U"][s * (di + 1):s * (di + 1) + B,
+                         s * (dj + 1):s * (dj + 1) + B] for tl in tiles],
+                axis=-1)
+
+    center_i = cat("center_i")
+    center_j = cat("center_j")
+    wr = cat("wr")
+    dist_ref_y = cat("dist_ref_y")
+    dist_ref_x = cat("dist_ref_x")
+    if not iso:
+        ixx = cat("ixx")
+        ixy = cat("ixy")
+        iyy = cat("iyy")
+
+    vals = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+    accs = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+    for di in (-1, 0, 1):
+        ig = center_i + di
+        inb_i = (ig >= 0) & (ig < H)
+        pi = ig % 2
+        dist_y = ig.astype(jnp.float32) - dist_ref_y
+        for dj in (-1, 0, 1):
+            jg2 = center_j + dj
+            inb = inb_i & (jg2 >= 0) & (jg2 < W)
+            pj = jg2 % 2
+            dist_x = jg2.astype(jnp.float32) - dist_ref_x
+            c = U_taps[(di, dj)]
+            if iso:
+                z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
+            else:
+                z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
+                    + iyy * dist_y * dist_y
+            z = jnp.maximum(z, 0.0)
+            w = jnp.exp(-0.5 * z) * wr * inb
+            if bayer:
+                ch = jnp.where(pi == 0,
+                               jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
+                               jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
+                for k in range(n_ch):
+                    mask = (ch == k).astype(jnp.float32)
+                    vals[k] = vals[k] + w * c * mask
+                    accs[k] = accs[k] + w * mask
+            else:
+                vals[0] = vals[0] + w * c
+                accs[0] = accs[0] + w
+
+    for k in range(n_ch):
+        val_ref[k] = vals[k]
+        acc_ref[k] = accs[k]
 
 
-def _one_tile(t, i, j, params_ref, flow_ref, r_ref,
-              rry, rrx, val_ref, acc_ref, comp_win, cov_win,
-              *, s, g, Ts, B, WIN, CWIN, H, W, iso, bayer, n_ch, cfa):
+def _prep_tile(t, i, j, params_ref, flow_ref, r_ref, rry, rrx,
+               comp_win, cov_win,
+               *, s, g, Ts, B, WIN, CWIN, H, W, iso):
     sg = s * g
     half = jnp.float32(0.5)
     SEG = B + 2 * s
@@ -361,45 +420,16 @@ def _one_tile(t, i, j, params_ref, flow_ref, r_ref,
         ixy = -inv_det * cc[1]
         iyy = inv_det * cc[0]
 
-    dist_ref_y = lr_mov_y - half
-    dist_ref_x = lr_mov_x - half
-
-    vals = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
-    accs = [jnp.zeros((B, B), jnp.float32) for _ in range(n_ch)]
-    for di in (-1, 0, 1):
-        ig = center_i + di
-        inb_i = (ig >= 0) & (ig < H)
-        pi = ig % 2
-        dist_y = ig.astype(jnp.float32) - dist_ref_y
-        for dj in (-1, 0, 1):
-            jg = center_j + dj
-            inb = inb_i & (jg >= 0) & (jg < W)
-            pj = jg % 2
-            dist_x = jg.astype(jnp.float32) - dist_ref_x
-
-            c = U[s * (di + 1):s * (di + 1) + B,
-                  s * (dj + 1):s * (dj + 1) + B]
-
-            if iso:
-                z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
-            else:
-                z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
-                    + iyy * dist_y * dist_y
-            z = jnp.maximum(z, 0.0)
-            w = jnp.exp(-0.5 * z) * wr * inb
-
-            if bayer:
-                ch = jnp.where(pi == 0,
-                               jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
-                               jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
-                for k in range(n_ch):
-                    mask = (ch == k).astype(jnp.float32)
-                    vals[k] = vals[k] + w * c * mask
-                    accs[k] = accs[k] + w * mask
-            else:
-                vals[0] = vals[0] + w * c
-                accs[0] = accs[0] + w
-
-    for k in range(n_ch):
-        val_ref[k, :, t * B:(t + 1) * B] = vals[k]
-        acc_ref[k, :, t * B:(t + 1) * B] = accs[k]
+    out = {
+        "U": U,
+        "center_i": jnp.broadcast_to(center_i, (B, B)),
+        "center_j": center_j,                    # (1, B)
+        "wr": wr,                                # (B, B)
+        "dist_ref_y": jnp.broadcast_to(lr_mov_y - half, (B, B)),
+        "dist_ref_x": lr_mov_x - half,           # (1, B)
+    }
+    if not iso:
+        out["ixx"] = ixx
+        out["ixy"] = ixy
+        out["iyy"] = iyy
+    return out
