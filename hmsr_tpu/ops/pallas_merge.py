@@ -191,6 +191,37 @@ def _selection_rows(n_out, n_in, rem, ph, rep):
     return (jj == rem + (ii + ph) // rep).astype(jnp.float32)
 
 
+def _f32_parts(x):
+    """Split f32 into three exactly-bf16-representable f32 terms (h+m+l == x).
+
+    Truncation (mask the low 16 bits of the f32 encoding) keeps each residual
+    subtraction exact, so DEFAULT-precision (single-pass bf16) MXU matmuls of
+    each part against a 0/1 selection matrix reconstruct the f32 values
+    bit-exactly at half the cost of ``Precision.HIGHEST`` (6 passes).
+    """
+    mask = jnp.int32(-65536)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    h = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+    r = x - h
+    rbits = jax.lax.bitcast_convert_type(r, jnp.int32)
+    m = jax.lax.bitcast_convert_type(rbits & mask, jnp.float32)
+    return h, m, r - m
+
+
+def _sel_dot(sel, x):
+    """Exact ``sel @ x`` for a 0/1 selection matrix (bf16x3 split of x)."""
+    h, m, l = _f32_parts(x)
+    d = lambda p: jnp.dot(sel, p, preferred_element_type=jnp.float32)
+    return (d(h) + d(m)) + d(l)
+
+
+def _dot_sel(x, sel):
+    """Exact ``x @ sel`` for a 0/1 selection matrix (bf16x3 split of x)."""
+    h, m, l = _f32_parts(x)
+    d = lambda p: jnp.dot(p, sel, preferred_element_type=jnp.float32)
+    return (d(h) + d(m)) + d(l)
+
+
 def _start_dmas(slot, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
                 sem_c, sem_k, iso):
     """Kick off the window DMAs for tile j into buffer ``slot``."""
@@ -370,28 +401,21 @@ def _prep_tile(t, i, j, params_ref, flow_ref, r_ref, rry, rrx,
     inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
                   (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
 
-    hi = jax.lax.Precision.HIGHEST      # exact f32 (0/1 selection matmuls)
-    local_r = jnp.dot(jnp.dot(rry[:], r_ref[:, t * Ts:(t + 1) * Ts],
-                              preferred_element_type=jnp.float32,
-                              precision=hi), rrx[:],
-                      preferred_element_type=jnp.float32, precision=hi)
+    local_r = _sel_dot(rry[:], _dot_sel(r_ref[:, t * Ts:(t + 1) * Ts],
+                                        rrx[:]))
     wr = jnp.where(inb_center, local_r, 0.0)
 
-    # ---- selection-matmul realignment + upsampling: U = R @ dma @ C
+    # ---- selection-matmul realignment + upsampling: U = R @ (dma @ C).
+    # Right-to-left order halves the MACs; the bf16x3 split in _sel_dot /
+    # _dot_sel keeps the copy exact at single-pass MXU cost.
     Rsel = _selection_rows(SEG, comp_win.shape[0], dy, ph_y, s)
     Csel = _selection_rows(SEG, comp_win.shape[1], dx, ph_x, s).T
-    U = jnp.dot(jnp.dot(Rsel, comp_win[:],
-                        preferred_element_type=jnp.float32, precision=hi),
-                Csel, preferred_element_type=jnp.float32,
-                precision=hi)                              # (SEG, SEG)
+    U = _sel_dot(Rsel, _dot_sel(comp_win[:], Csel))        # (SEG, SEG)
 
     if not iso:
         R2 = _selection_rows(CSEG, cov_win.shape[1], dy2, ph2_y, sg)
         C2 = _selection_rows(CSEG, cov_win.shape[2], dx2, ph2_x, sg).T
-        cc_win = [jnp.dot(jnp.dot(R2, cov_win[ch],
-                                  preferred_element_type=jnp.float32,
-                                  precision=hi), C2,
-                          preferred_element_type=jnp.float32, precision=hi)
+        cc_win = [_sel_dot(R2, _dot_sel(cov_win[ch], C2))
                   for ch in range(3)]                      # 3 x (CSEG, CSEG)
 
         kfloor_y = S2y1 + (r_loc + ph2_y) // sg
