@@ -101,8 +101,8 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROWS, _DMA_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((XG,)),
         ],
     )
 
@@ -117,81 +117,105 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
     return out.reshape(ny, NTXP, 2)[:, :nx]
 
 
+def _f32_parts(x):
+    """Split f32 into three exactly-bf16-representable f32 terms (h+m+l == x).
+
+    See pallas_merge._f32_parts — lets 0/1 selection matmuls run at
+    single-pass DEFAULT precision while staying bit-exact.
+    """
+    mask = jnp.int32(-65536)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    h = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+    r = x - h
+    rbits = jax.lax.bitcast_convert_type(r, jnp.int32)
+    m = jax.lax.bitcast_convert_type(rbits & mask, jnp.float32)
+    return h, m, r - m
+
+
+def _sel_dot(sel, x):
+    h, m, l = _f32_parts(x)
+    d = lambda p: jnp.dot(sel, p, preferred_element_type=jnp.float32)
+    return (d(h) + d(m)) + d(l)
+
+
+def _dot_sel(x, sel):
+    h, m, l = _f32_parts(x)
+    d = lambda p: jnp.dot(p, sel, preferred_element_type=jnp.float32)
+    return (d(h) + d(m)) + d(l)
+
+
 def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
                 win_ref, sem, *, ts, XG, WIN, ROWS, PAD, h, w, n_iter, hp, wp):
+    """All XG tiles advance one GN iteration together: the XG window DMAs of
+    an iteration are issued back-to-back before any wait, hiding each tile's
+    HBM latency behind the others' copies."""
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
-    hi = jax.lax.Precision.HIGHEST
 
+    # per-tile solve terms + flow state (scalar core)
+    det_inv, a11, a01, a10, a00, ax, ay = [], [], [], [], [], [], []
     for t in range(XG):
-        j = jg_ * XG + t
-        p0 = j * 8
-        det_inv = hp_ref[0, 0, p0 + 0]
-        a11 = hp_ref[0, 0, p0 + 1]
-        a01 = hp_ref[0, 0, p0 + 2]
-        a10 = hp_ref[0, 0, p0 + 3]
-        a00 = hp_ref[0, 0, p0 + 4]
-        ax = hp_ref[0, 0, p0 + 5]
-        ay = hp_ref[0, 0, p0 + 6]
+        p0 = (jg_ * XG + t) * 8
+        det_inv.append(hp_ref[0, 0, p0 + 0])
+        a11.append(hp_ref[0, 0, p0 + 1])
+        a01.append(hp_ref[0, 0, p0 + 2])
+        a10.append(hp_ref[0, 0, p0 + 3])
+        a00.append(hp_ref[0, 0, p0 + 4])
+        ax.append(hp_ref[0, 0, p0 + 5])
+        ay.append(hp_ref[0, 0, p0 + 6])
 
-        ref_c = ref_ref[:, t * ts:(t + 1) * ts]
-        gxx = gx_ref[:, t * ts:(t + 1) * ts]
-        gyy = gy_ref[:, t * ts:(t + 1) * ts]
-
-        base_y = i * ts
-        base_x = j * ts
-
-        for _ in range(n_iter):
-            ix = jnp.trunc(ax)
-            iy = jnp.trunc(ay)
-            frac_x = ax - ix
-            frac_y = ay - iy
+    for _ in range(n_iter):
+        frac_x, frac_y, oks, dys, dxs, dmas = [], [], [], [], [], []
+        for t in range(XG):
+            j = jg_ * XG + t
+            ix = jnp.trunc(ax[t])
+            iy = jnp.trunc(ay[t])
+            frac_x.append(ax[t] - ix)
+            frac_y.append(ay[t] - iy)
 
             # window start (padded coords); clamp + ok flag for far-OOB
-            Sy = base_y + iy.astype(jnp.int32) + PAD
-            Sx = base_x + ix.astype(jnp.int32) + PAD
+            Sy = i * ts + iy.astype(jnp.int32) + PAD
+            Sx = j * ts + ix.astype(jnp.int32) + PAD
             Syc = jnp.clip(Sy, 0, hp - ROWS)
             Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
-            ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.float32)
+            oks.append(((Syc == Sy) & (Sxc == Sx)).astype(jnp.float32))
 
             ry_al = (Syc // 8) * 8
             rx_al = (Sxc // 128) * 128
-            dy = Syc - ry_al
-            dx = Sxc - rx_al
-
+            dys.append(Syc - ry_al)
+            dxs.append(Sxc - rx_al)
             dma = pltpu.make_async_copy(
                 mov_ref.at[pl.ds(ry_al, ROWS), pl.ds(rx_al, _DMA_COLS)],
-                win_ref, sem)
+                win_ref.at[t], sem.at[t])
             dma.start()
-            dma.wait()
+            dmas.append(dma)
 
+        for t in range(XG):
+            dmas[t].wait()
             ii = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 1)
-            Rsel = (jj == dy + ii).astype(jnp.float32)
-            ii2 = jax.lax.broadcasted_iota(jnp.int32, (WIN, _DMA_COLS), 0)
-            jj2 = jax.lax.broadcasted_iota(jnp.int32, (WIN, _DMA_COLS), 1)
-            Csel = (jj2 == dx + ii2).astype(jnp.float32).T
+            Rsel = (jj == dys[t] + ii).astype(jnp.float32)
+            ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, WIN), 0)
+            jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, WIN), 1)
+            Csel = (ii2 == dxs[t] + jj2).astype(jnp.float32)
 
-            U = jnp.dot(jnp.dot(Rsel, win_ref[:],
-                                preferred_element_type=jnp.float32,
-                                precision=hi), Csel,
-                        preferred_element_type=jnp.float32,
-                        precision=hi) * ok                  # (WIN, WIN)
+            U = _sel_dot(Rsel, _dot_sel(win_ref[t], Csel)) * oks[t]
 
             m00 = U[:ts, :ts]
             m01 = U[:ts, 1:]
             m10 = U[1:, :ts]
             m11 = U[1:, 1:]
-            top = m00 + (m01 - m00) * frac_x
-            bot = m10 + (m11 - m10) * frac_x
-            interp = top + (bot - top) * frac_y
+            top = m00 + (m01 - m00) * frac_x[t]
+            bot = m10 + (m11 - m10) * frac_x[t]
+            interp = top + (bot - top) * frac_y[t]
 
-            gradt = interp - ref_c
-            b0 = jnp.sum(-gxx * gradt)
-            b1 = jnp.sum(-gyy * gradt)
+            gradt = interp - ref_ref[:, t * ts:(t + 1) * ts]
+            b0 = jnp.sum(-gx_ref[:, t * ts:(t + 1) * ts] * gradt)
+            b1 = jnp.sum(-gy_ref[:, t * ts:(t + 1) * ts] * gradt)
 
-            ax = ax + det_inv * (a11 * b0 - a01 * b1)
-            ay = ay + det_inv * (-a10 * b0 + a00 * b1)
+            ax[t] = ax[t] + det_inv[t] * (a11[t] * b0 - a01[t] * b1)
+            ay[t] = ay[t] + det_inv[t] * (-a10[t] * b0 + a00[t] * b1)
 
-        out_ref[0, 0, 0, t * 2 + 0] = ax
-        out_ref[0, 0, 0, t * 2 + 1] = ay
+    for t in range(XG):
+        out_ref[0, 0, 0, t * 2 + 0] = ax[t]
+        out_ref[0, 0, 0, t * 2 + 1] = ay[t]
