@@ -38,6 +38,7 @@ class AlignmentRefState(NamedTuple):
     pyramid: List[jnp.ndarray]        # level images
     tiles: List[jnp.ndarray]          # (ny, nx, ts, ts) reference tiles
     ica: List[IcaRefState]
+    ica_pallas: List = ()             # per-level IcaPallasPrep or None
 
 
 def _level_tile_sizes(config):
@@ -69,11 +70,20 @@ def init_alignment(ref_grey, config):
 
     pyramid = build_gaussian_pyramid(padded, t.factors)
 
-    tiles, ica_states = [], []
+    from ..ops.pallas_ica import PALLAS_ICA_MIN_TILES, prep_ica_pallas
+
+    tiles, ica_states, ica_preps = [], [], []
     for lvl, (_, ts, _, _) in zip(pyramid, _level_tile_sizes(config)):
         tiles.append(_unfold_tiles(lvl, ts))
         ica_states.append(init_ica(lvl, ts))
-    return AlignmentRefState(pyramid=pyramid, tiles=tiles, ica=ica_states)
+        ny, nx = tiles[-1].shape[:2]
+        if ny * nx >= PALLAS_ICA_MIN_TILES:
+            ica_preps.append(prep_ica_pallas(lvl, ica_states[-1],
+                                             (ny, nx, 2), ts))
+        else:
+            ica_preps.append(None)
+    return AlignmentRefState(pyramid=pyramid, tiles=tiles, ica=ica_states,
+                             ica_pallas=ica_preps)
 
 
 def upscale_flow(flow, npatches, list_id, config):
@@ -117,13 +127,14 @@ def align(ref_state, moving_grey, config):
             on_tpu = False
         ica_impl = "pallas" if on_tpu else "tiled"
 
-    def pick_ica(n_tiles):
-        # The Pallas kernel wins on big tile grids (the finest level dominates
-        # runtime) but each instance costs minutes of Mosaic compile time, so
+    def pick_ica(n_tiles, prep):
+        # The Pallas kernel wins on big tile grids (the fine levels dominate
+        # runtime) but each instance costs a Mosaic compile, so the small
         # coarse levels stay on the tiled XLA path.
-        if ica_impl == "pallas" and n_tiles >= 4000:
-            from ..ops.pallas_ica import refine_ica_pallas
-            return refine_ica_pallas
+        from ..ops.pallas_ica import PALLAS_ICA_MIN_TILES, refine_ica_pallas
+        import functools
+        if ica_impl == "pallas" and n_tiles >= PALLAS_ICA_MIN_TILES:
+            return functools.partial(refine_ica_pallas, prep=prep)
         if ica_impl == "gather":
             return refine_ica
         return refine_ica_tiled
@@ -153,7 +164,8 @@ def align(ref_state, moving_grey, config):
         else:
             raise ValueError(f"Unknown block matching metric {metric}")
 
-        ica_fn = pick_ica(npatches[0] * npatches[1])
+        prep = ref_state.ica_pallas[l] if ref_state.ica_pallas else None
+        ica_fn = pick_ica(npatches[0] * npatches[1], prep)
         flow = ica_fn(ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter)
 
     return flow

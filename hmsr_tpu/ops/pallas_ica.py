@@ -18,6 +18,7 @@ ICA.py:124-126).
 """
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -29,13 +30,56 @@ from ..utils.types import DEFAULT_FLOAT
 
 _DMA_COLS = 256
 
+#: tile-count threshold above which ``align`` picks this kernel over the
+#: tiled XLA path (each distinct shape costs a Mosaic compile).
+PALLAS_ICA_MIN_TILES = 2000
+
 
 def _dma_rows(win):
     return -(-(win + 8) // 8) * 8
 
 
+class IcaPallasPrep(NamedTuple):
+    """Per-burst constants of the Pallas ICA kernel (precompute once in
+    ``init_alignment`` — recomputing them per frame costs ~50ms of pad/copy
+    at 12MP that XLA cannot hoist out of the per-frame program)."""
+    ref_c: jnp.ndarray      # (ny*ts, NTXP*ts) reference tiles, padded
+    gx: jnp.ndarray
+    gy: jnp.ndarray
+    hstatic: jnp.ndarray    # (ny, NTXP, 8) solve terms; slots 5,6 zero
+
+
+def prep_ica_pallas(ref_lvl, ica_state, flow_shape, tile_size):
+    """Precompute the flow-independent kernel operands."""
+    ny, nx, _ = flow_shape
+    ts = int(tile_size)
+    XG = max(1, 128 // int(np.gcd(ts, 128)))
+    NTXP = -(-nx // XG) * XG
+
+    def tiles(a):
+        return jnp.pad(a[:ny * ts, :nx * ts],
+                       ((0, 0), (0, (NTXP - nx) * ts)))
+
+    hs = ica_state.hessian
+    a00 = hs[..., 0, 0]
+    a01 = hs[..., 0, 1]
+    a10 = hs[..., 1, 0]
+    a11 = hs[..., 1, 1]
+    det = a00 * a11 - a01 * a10
+    solvable = jnp.abs(det) >= 1e-10
+    det_inv = jnp.where(solvable, 1.0 / jnp.where(solvable, det, 1.0), 0.0)
+    z = jnp.zeros_like(det_inv)
+    hstatic = jnp.stack([det_inv, a11, a01, a10, a00, z, z, z], axis=-1)
+    if NTXP != nx:
+        hstatic = jnp.concatenate(
+            [hstatic, jnp.zeros((ny, NTXP - nx, 8), hstatic.dtype)], axis=1)
+    return IcaPallasPrep(ref_c=tiles(ref_lvl), gx=tiles(ica_state.gradx),
+                         gy=tiles(ica_state.grady),
+                         hstatic=hstatic.astype(DEFAULT_FLOAT))
+
+
 def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
-                      interpret=False):
+                      interpret=False, prep=None):
     """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
     ny, nx, _ = flow.shape
     ts = int(tile_size)
@@ -47,36 +91,19 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
     XG = max(1, 128 // int(np.gcd(ts, 128)))
     NTXP = -(-nx // XG) * XG
 
-    mov_pad = jnp.pad(moving, PAD)
-    ph0, pw0 = mov_pad.shape
-    mov_pad = jnp.pad(mov_pad, ((0, (-ph0) % ROWS + ROWS),
-                                (0, (-pw0) % _DMA_COLS + _DMA_COLS)))
+    mov_pad = jnp.pad(moving,
+                      ((PAD, PAD + (-(h + 2 * PAD)) % ROWS + ROWS),
+                       (PAD, PAD + (-(w + 2 * PAD)) % _DMA_COLS + _DMA_COLS)))
 
-    def tiles(a):
-        return jnp.pad(a[:ny * ts, :nx * ts],
-                       ((0, 0), (0, (NTXP - nx) * ts)))
+    if prep is None:
+        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
+    ref_c, gx, gy = prep.ref_c, prep.gx, prep.gy
 
-    ref_c = tiles(ref_lvl)
-    gx = tiles(ica_state.gradx)
-    gy = tiles(ica_state.grady)
-
-    hs = ica_state.hessian
-    a00 = hs[..., 0, 0]
-    a01 = hs[..., 0, 1]
-    a10 = hs[..., 1, 0]
-    a11 = hs[..., 1, 1]
-    det = a00 * a11 - a01 * a10
-    solvable = jnp.abs(det) >= 1e-10
-    det_inv = jnp.where(solvable, 1.0 / jnp.where(solvable, det, 1.0), 0.0)
-
-    hparams = jnp.stack([det_inv, a11, a01, a10, a00,
-                         flow[..., 0].astype(DEFAULT_FLOAT),
-                         flow[..., 1].astype(DEFAULT_FLOAT),
-                         jnp.zeros_like(det_inv)], axis=-1)
-    if NTXP != nx:
-        hparams = jnp.concatenate(
-            [hparams, jnp.zeros((ny, NTXP - nx, 8), hparams.dtype)], axis=1)
-    hparams = hparams.reshape(ny, 1, NTXP * 8).astype(DEFAULT_FLOAT)
+    fpad = ((0, 0), (0, NTXP - nx), (0, 0)) if NTXP != nx else None
+    fl = flow.astype(DEFAULT_FLOAT)
+    fl = jnp.pad(fl, fpad) if fpad else fl
+    hparams = prep.hstatic.at[..., 5].set(fl[..., 0]).at[..., 6].set(fl[..., 1])
+    hparams = hparams.reshape(ny, 1, NTXP * 8)
 
     kernel = functools.partial(
         _ica_kernel, ts=ts, XG=XG, WIN=WIN, ROWS=ROWS, PAD=PAD,
@@ -164,8 +191,15 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
         ax.append(hp_ref[0, 0, p0 + 5])
         ay.append(hp_ref[0, 0, p0 + 6])
 
-    for _ in range(n_iter):
-        frac_x, frac_y, oks, dys, dxs, dmas = [], [], [], [], [], []
+    # Per-tile window-buffer origins. GN updates are usually sub-pixel, so
+    # the buffer fetched at iteration 0 (with ~7-row / ~56-col margins around
+    # the window) almost always still contains the iteration-k window — later
+    # iterations re-DMA only when the window drifts out of the buffer.
+    by = [None] * XG
+    bx = [None] * XG
+    for it_ in range(n_iter):
+        frac_x, frac_y, oks, dys, dxs = [], [], [], [], []
+        needs, nbys, nbxs = [], [], []
         for t in range(XG):
             j = jg_ * XG + t
             ix = jnp.trunc(ax[t])
@@ -180,18 +214,49 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
             Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
             oks.append(((Syc == Sy) & (Sxc == Sx)).astype(jnp.float32))
 
-            ry_al = (Syc // 8) * 8
-            rx_al = (Sxc // 128) * 128
-            dys.append(Syc - ry_al)
-            dxs.append(Sxc - rx_al)
-            dma = pltpu.make_async_copy(
-                mov_ref.at[pl.ds(ry_al, ROWS), pl.ds(rx_al, _DMA_COLS)],
-                win_ref.at[t], sem.at[t])
-            dma.start()
-            dmas.append(dma)
+            # clip-then-align keeps the offsets provably 8/128-divisible for
+            # Mosaic (hp/wp are ROWS/_DMA_COLS multiples)
+            nby = (jnp.clip(Syc - 7, 0, hp - ROWS) // 8) * 8
+            nbx = (jnp.clip(Sxc - 56, 0, wp - _DMA_COLS) // 128) * 128
+            if it_ == 0:
+                need = None
+                by[t], bx[t] = nby, nbx
+                pltpu.make_async_copy(
+                    mov_ref.at[pl.ds(nby, ROWS), pl.ds(nbx, _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).start()
+            else:
+                dy0 = Syc - by[t]
+                dx0 = Sxc - bx[t]
+                need = ((dy0 < 0) | (dy0 > ROWS - WIN) |
+                        (dx0 < 0) | (dx0 > _DMA_COLS - WIN))
+
+                @pl.when(need)
+                def _(nby=nby, nbx=nbx, t=t):
+                    pltpu.make_async_copy(
+                        mov_ref.at[pl.ds(nby, ROWS), pl.ds(nbx, _DMA_COLS)],
+                        win_ref.at[t], sem.at[t]).start()
+
+                by[t] = jnp.where(need, nby, by[t])
+                bx[t] = jnp.where(need, nbx, bx[t])
+            needs.append(need)
+            nbys.append(nby)
+            nbxs.append(nbx)
+            dys.append(Syc - by[t])
+            dxs.append(Sxc - bx[t])
 
         for t in range(XG):
-            dmas[t].wait()
+            if it_ == 0:
+                pltpu.make_async_copy(
+                    mov_ref.at[pl.ds(nbys[t], ROWS), pl.ds(nbxs[t], _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).wait()
+            else:
+                # under when(need), nby/nbx == the freshly fetched origin
+                @pl.when(needs[t])
+                def _(t=t):
+                    pltpu.make_async_copy(
+                        mov_ref.at[pl.ds(nbys[t], ROWS),
+                                   pl.ds(nbxs[t], _DMA_COLS)],
+                        win_ref.at[t], sem.at[t]).wait()
             ii = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 1)
             Rsel = (jj == dys[t] + ii).astype(jnp.float32)
