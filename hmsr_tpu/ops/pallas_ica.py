@@ -30,6 +30,11 @@ from ..utils.types import DEFAULT_FLOAT
 
 _DMA_COLS = 256
 
+# group-window buffer: one DMA usually serves all XG tiles of a program
+# (their windows are x-adjacent and post-block-matching flow is smooth)
+_GROWS = 48
+_GCOLS = 512
+
 #: tile-count threshold above which ``align`` picks this kernel over the
 #: tiled XLA path (each distinct shape costs a Mosaic compile).
 PALLAS_ICA_MIN_TILES = 2000
@@ -128,8 +133,11 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),   # per-tile bufs
+            pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),        # group window
+            pltpu.VMEM((WIN, XG * WIN), jnp.float32),         # U slab
             pltpu.SemaphoreType.DMA((XG,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
@@ -172,12 +180,21 @@ def _dot_sel(x, sel):
 
 
 def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
-                win_ref, sem, *, ts, XG, WIN, ROWS, PAD, h, w, n_iter, hp, wp):
-    """All XG tiles advance one GN iteration together: the XG window DMAs of
-    an iteration are issued back-to-back before any wait, hiding each tile's
-    HBM latency behind the others' copies."""
+                win_ref, gwin_ref, u_ref, sem, sem_g, *,
+                ts, XG, WIN, ROWS, PAD, h, w, n_iter, hp, wp):
+    """One GN iteration for all XG tiles of a program at a time.
+
+    Fast path: the XG windows are x-adjacent and post-block-matching flow is
+    smooth, so ONE group DMA (``_GROWS x _GCOLS``) usually covers them all;
+    per-tile realignment then happens inside VMEM (one column-selection
+    matmul for the whole group + a tiny row-selection matmul per tile).
+    When the per-tile windows don't fit the group buffer (wild flow), an
+    exact per-tile-DMA fallback fills the same U slab. The bilinear taps /
+    Gauss-Newton updates read the slab with full-width VPU ops either way.
+    """
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
+    SLAB = XG * WIN
 
     # per-tile solve terms + flow state (scalar core)
     det_inv, a11, a01, a10, a00, ax, ay = [], [], [], [], [], [], []
@@ -191,15 +208,20 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
         ax.append(hp_ref[0, 0, p0 + 5])
         ay.append(hp_ref[0, 0, p0 + 6])
 
-    # Per-tile window-buffer origins. GN updates are usually sub-pixel, so
-    # the buffer fetched at iteration 0 (with ~7-row / ~56-col margins around
-    # the window) almost always still contains the iteration-k window — later
-    # iterations re-DMA only when the window drifts out of the buffer.
-    by = [None] * XG
-    bx = [None] * XG
-    for it_ in range(n_iter):
-        frac_x, frac_y, oks, dys, dxs = [], [], [], [], []
-        needs, nbys, nbxs = [], [], []
+    # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
+    # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (SLAB, XG * ts), 0)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (SLAB, XG * ts), 1)
+    tsrc = (tj // ts) * WIN + (tj % ts)
+    tap0 = (ti == tsrc).astype(jnp.float32)
+    tap1 = (ti == tsrc + 1).astype(jnp.float32)
+
+    # per-tile lane masks for broadcasting scalars across the tap plane
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, XG * ts), 1) // ts
+
+    for _ in range(n_iter):
+        # ---- scalar phase: per-tile window origins + group bounds
+        frac_x, frac_y, oks, Sys, Sxs = [], [], [], [], []
         for t in range(XG):
             j = jg_ * XG + t
             ix = jnp.trunc(ax[t])
@@ -213,71 +235,94 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
             Syc = jnp.clip(Sy, 0, hp - ROWS)
             Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
             oks.append(((Syc == Sy) & (Sxc == Sx)).astype(jnp.float32))
+            Sys.append(Syc)
+            Sxs.append(Sxc)
 
-            # clip-then-align keeps the offsets provably 8/128-divisible for
-            # Mosaic (hp/wp are ROWS/_DMA_COLS multiples)
-            nby = (jnp.clip(Syc - 7, 0, hp - ROWS) // 8) * 8
-            nbx = (jnp.clip(Sxc - 56, 0, wp - _DMA_COLS) // 128) * 128
-            if it_ == 0:
-                need = None
-                by[t], bx[t] = nby, nbx
+        min_y = max_y = Sys[0]
+        min_x = max_x = Sxs[0]
+        for t in range(1, XG):
+            min_y = jnp.minimum(min_y, Sys[t])
+            max_y = jnp.maximum(max_y, Sys[t])
+            min_x = jnp.minimum(min_x, Sxs[t])
+            max_x = jnp.maximum(max_x, Sxs[t])
+        # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
+        gby = (jnp.clip(min_y, 0, hp - _GROWS) // 8) * 8
+        gbx = (jnp.clip(min_x, 0, wp - _GCOLS) // 128) * 128
+        fit = (((max_y - gby) <= _GROWS - WIN) &
+               ((max_x - gbx) <= _GCOLS - WIN))
+
+        # speculative group fetch (wasted only on the rare non-fit path)
+        gdma = pltpu.make_async_copy(
+            mov_ref.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
+            gwin_ref, sem_g)
+        gdma.start()
+        gdma.wait()
+
+        @pl.when(fit)
+        def _():
+            # column realignment of ALL tiles in one selection matmul
+            dxv = jnp.zeros((1, SLAB), jnp.int32)
+            dyl = []
+            l17 = jax.lax.broadcasted_iota(jnp.int32, (1, SLAB), 1) // WIN
+            for t in range(XG):
+                dxv = dxv + (Sxs[t] - gbx) * (l17 == t).astype(jnp.int32)
+                dyl.append(Sys[t] - gby)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SLAB), 0)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SLAB), 1)
+            Call = (ci == dxv + (cj % WIN)).astype(jnp.float32)
+            X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SLAB)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (WIN, _GROWS), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (WIN, _GROWS), 1)
+            for t in range(XG):
+                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
+                u_ref[:, t * WIN:(t + 1) * WIN] = _sel_dot(
+                    Rsel, X[:, t * WIN:(t + 1) * WIN]) * oks[t]
+
+        @pl.when(jnp.logical_not(fit))
+        def _():
+            rys, rxs = [], []
+            for t in range(XG):
+                rys.append((Sys[t] // 8) * 8)
+                rxs.append((Sxs[t] // 128) * 128)
                 pltpu.make_async_copy(
-                    mov_ref.at[pl.ds(nby, ROWS), pl.ds(nbx, _DMA_COLS)],
+                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
                     win_ref.at[t], sem.at[t]).start()
-            else:
-                dy0 = Syc - by[t]
-                dx0 = Sxc - bx[t]
-                need = ((dy0 < 0) | (dy0 > ROWS - WIN) |
-                        (dx0 < 0) | (dx0 > _DMA_COLS - WIN))
-
-                @pl.when(need)
-                def _(nby=nby, nbx=nbx, t=t):
-                    pltpu.make_async_copy(
-                        mov_ref.at[pl.ds(nby, ROWS), pl.ds(nbx, _DMA_COLS)],
-                        win_ref.at[t], sem.at[t]).start()
-
-                by[t] = jnp.where(need, nby, by[t])
-                bx[t] = jnp.where(need, nbx, bx[t])
-            needs.append(need)
-            nbys.append(nby)
-            nbxs.append(nbx)
-            dys.append(Syc - by[t])
-            dxs.append(Sxc - bx[t])
-
-        for t in range(XG):
-            if it_ == 0:
-                pltpu.make_async_copy(
-                    mov_ref.at[pl.ds(nbys[t], ROWS), pl.ds(nbxs[t], _DMA_COLS)],
-                    win_ref.at[t], sem.at[t]).wait()
-            else:
-                # under when(need), nby/nbx == the freshly fetched origin
-                @pl.when(needs[t])
-                def _(t=t):
-                    pltpu.make_async_copy(
-                        mov_ref.at[pl.ds(nbys[t], ROWS),
-                                   pl.ds(nbxs[t], _DMA_COLS)],
-                        win_ref.at[t], sem.at[t]).wait()
             ii = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 1)
-            Rsel = (jj == dys[t] + ii).astype(jnp.float32)
             ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, WIN), 0)
             jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, WIN), 1)
-            Csel = (ii2 == dxs[t] + jj2).astype(jnp.float32)
+            for t in range(XG):
+                pltpu.make_async_copy(
+                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).wait()
+                Rsel = (jj == (Sys[t] - rys[t]) + ii).astype(jnp.float32)
+                Csel = (ii2 == (Sxs[t] - rxs[t]) + jj2).astype(jnp.float32)
+                u_ref[:, t * WIN:(t + 1) * WIN] = _sel_dot(
+                    Rsel, _dot_sel(win_ref[t], Csel)) * oks[t]
 
-            U = _sel_dot(Rsel, _dot_sel(win_ref[t], Csel)) * oks[t]
+        # ---- shared slab phase: bilinear taps + GN right-hand sides
+        fxv = jnp.zeros((1, XG * ts), jnp.float32)
+        fyv = jnp.zeros((1, XG * ts), jnp.float32)
+        for t in range(XG):
+            m = (lane == t).astype(jnp.float32)
+            fxv = fxv + frac_x[t] * m
+            fyv = fyv + frac_y[t] * m
 
-            m00 = U[:ts, :ts]
-            m01 = U[:ts, 1:]
-            m10 = U[1:, :ts]
-            m11 = U[1:, 1:]
-            top = m00 + (m01 - m00) * frac_x[t]
-            bot = m10 + (m11 - m10) * frac_x[t]
-            interp = top + (bot - top) * frac_y[t]
+        Uslab = u_ref[:]
+        m00 = _dot_sel(Uslab[:ts], tap0)
+        m01 = _dot_sel(Uslab[:ts], tap1)
+        m10 = _dot_sel(Uslab[1:WIN], tap0)
+        m11 = _dot_sel(Uslab[1:WIN], tap1)
+        top = m00 + (m01 - m00) * fxv
+        bot = m10 + (m11 - m10) * fxv
+        interp = top + (bot - top) * fyv                  # (ts, XG*ts)
 
-            gradt = interp - ref_ref[:, t * ts:(t + 1) * ts]
-            b0 = jnp.sum(-gx_ref[:, t * ts:(t + 1) * ts] * gradt)
-            b1 = jnp.sum(-gy_ref[:, t * ts:(t + 1) * ts] * gradt)
-
+        gradt = interp - ref_ref[:]
+        P0 = -gx_ref[:] * gradt
+        P1 = -gy_ref[:] * gradt
+        for t in range(XG):
+            b0 = jnp.sum(P0[:, t * ts:(t + 1) * ts])
+            b1 = jnp.sum(P1[:, t * ts:(t + 1) * ts])
             ax[t] = ax[t] + det_inv[t] * (a11[t] * b0 - a01[t] * b1)
             ay[t] = ay[t] + det_inv[t] * (-a10[t] * b0 + a00[t] * b1)
 
