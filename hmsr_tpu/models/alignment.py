@@ -134,10 +134,10 @@ def align(ref_state, moving_grey, config):
         from ..ops.pallas_ica import PALLAS_ICA_MIN_TILES, refine_ica_pallas
         import functools
         if ica_impl == "pallas" and n_tiles >= PALLAS_ICA_MIN_TILES:
-            return functools.partial(refine_ica_pallas, prep=prep)
+            return functools.partial(refine_ica_pallas, prep=prep), True
         if ica_impl == "gather":
-            return refine_ica
-        return refine_ica_tiled
+            return refine_ica, False
+        return refine_ica_tiled, False
 
     moving_pyramid = build_gaussian_pyramid(moving_grey, t.factors)
     levels = _level_tile_sizes(config)
@@ -156,6 +156,18 @@ def align(ref_state, moving_grey, config):
             flow = upscale_flow(flow, npatches, list_id, config)
 
         moving_lvl = moving_pyramid[l]
+        prep = ref_state.ica_pallas[l] if ref_state.ica_pallas else None
+        ica_fn, is_pallas = pick_ica(npatches[0] * npatches[1], prep)
+
+        # fused L1-matching + ICA kernel: the block-matching search reuses
+        # the ICA kernel's group-window DMA (saves a full image pass)
+        if metric == "L1" and radius == 1 and is_pallas and prep is not None:
+            from ..ops.pallas_ica import match_l1_refine_ica_pallas
+            flow = match_l1_refine_ica_pallas(
+                ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter,
+                prep=prep)
+            continue
+
         if metric == "L2":
             flow = match_l2(ref_state.tiles[l], moving_lvl, flow, ts, radius,
                             backend=backend)
@@ -164,8 +176,6 @@ def align(ref_state, moving_grey, config):
         else:
             raise ValueError(f"Unknown block matching metric {metric}")
 
-        prep = ref_state.ica_pallas[l] if ref_state.ica_pallas else None
-        ica_fn = pick_ica(npatches[0] * npatches[1], prep)
         flow = ica_fn(ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter)
 
     return flow

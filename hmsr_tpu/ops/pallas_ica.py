@@ -83,8 +83,24 @@ def prep_ica_pallas(ref_lvl, ica_state, flow_shape, tile_size):
                          hstatic=hstatic.astype(DEFAULT_FLOAT))
 
 
+def match_l1_refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
+                               n_iter, interpret=False, prep=None):
+    """Fused finest-level stage: L1 block matching (radius 1) + ICA.
+
+    Reference semantics (block_matching.py:126-154 of this repo's XLA path,
+    itself matching reference block_matching.py:105-345 with the intended
+    argmin): search windows at ``round(flow)``, zero-filled out of bounds,
+    first-minimum tie-break; the matched integer flow then seeds the ICA
+    Gauss-Newton loop — all inside one kernel, so the block-matching search
+    reuses the ICA group-window DMA machinery instead of a separate 12MP
+    pass.
+    """
+    return refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
+                             n_iter, interpret=interpret, prep=prep, bm=True)
+
+
 def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
-                      interpret=False, prep=None):
+                      interpret=False, prep=None, bm=False):
     """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
     ny, nx, _ = flow.shape
     ts = int(tile_size)
@@ -110,9 +126,10 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
     hparams = prep.hstatic.at[..., 5].set(fl[..., 0]).at[..., 6].set(fl[..., 1])
     hparams = hparams.reshape(ny, 1, NTXP * 8)
 
+    SWIN = ts + 3                     # BM window (ts+2) + ICA shift reach
     kernel = functools.partial(
         _ica_kernel, ts=ts, XG=XG, WIN=WIN, ROWS=ROWS, PAD=PAD,
-        h=h, w=w, n_iter=int(n_iter),
+        h=h, w=w, n_iter=int(n_iter), bm=bm, SWIN=SWIN,
         hp=mov_pad.shape[0], wp=mov_pad.shape[1])
 
     grid_spec = pl.GridSpec(
@@ -136,6 +153,7 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
             pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),   # per-tile bufs
             pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),        # group window
             pltpu.VMEM((WIN, XG * WIN), jnp.float32),         # U slab
+            pltpu.VMEM((SWIN, XG * SWIN), jnp.float32),       # BM search slab
             pltpu.SemaphoreType.DMA((XG,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -180,8 +198,8 @@ def _dot_sel(x, sel):
 
 
 def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
-                win_ref, gwin_ref, u_ref, sem, sem_g, *,
-                ts, XG, WIN, ROWS, PAD, h, w, n_iter, hp, wp):
+                win_ref, gwin_ref, u_ref, ub_ref, sem, sem_g, *,
+                ts, XG, WIN, ROWS, PAD, h, w, n_iter, bm, SWIN, hp, wp):
     """One GN iteration for all XG tiles of a program at a time.
 
     Fast path: the XG windows are x-adjacent and post-block-matching flow is
@@ -191,6 +209,9 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
     When the per-tile windows don't fit the group buffer (wild flow), an
     exact per-tile-DMA fallback fills the same U slab. The bilinear taps /
     Gauss-Newton updates read the slab with full-width VPU ops either way.
+
+    With ``bm=True`` an L1 block-matching prologue (radius 1, reference
+    zero-fill + first-min semantics) runs first on the same machinery.
     """
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
@@ -208,6 +229,117 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
         ax.append(hp_ref[0, 0, p0 + 5])
         ay.append(hp_ref[0, 0, p0 + 6])
 
+    def realign(u_dst, Sys, Sxs, oks, VW):
+        """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows at
+        (Sys[t], Sxs[t]): group-DMA fast path + per-tile-DMA fallback."""
+        SL = XG * VW
+        min_y = max_y = Sys[0]
+        min_x = max_x = Sxs[0]
+        for t in range(1, XG):
+            min_y = jnp.minimum(min_y, Sys[t])
+            max_y = jnp.maximum(max_y, Sys[t])
+            min_x = jnp.minimum(min_x, Sxs[t])
+            max_x = jnp.maximum(max_x, Sxs[t])
+        # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
+        gby = (jnp.clip(min_y, 0, hp - _GROWS) // 8) * 8
+        gbx = (jnp.clip(min_x, 0, wp - _GCOLS) // 128) * 128
+        fit = (((max_y - gby) <= _GROWS - VW) &
+               ((max_x - gbx) <= _GCOLS - VW))
+
+        # speculative group fetch (wasted only on the rare non-fit path)
+        gdma = pltpu.make_async_copy(
+            mov_ref.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
+            gwin_ref, sem_g)
+        gdma.start()
+        gdma.wait()
+
+        @pl.when(fit)
+        def _():
+            # column realignment of ALL tiles in one selection matmul
+            dxv = jnp.zeros((1, SL), jnp.int32)
+            dyl = []
+            lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
+            for t in range(XG):
+                dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
+                dyl.append(Sys[t] - gby)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 0)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
+            Call = (ci == dxv + (cj % VW)).astype(jnp.float32)
+            X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
+            for t in range(XG):
+                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
+                U = _sel_dot(Rsel, X[:, t * VW:(t + 1) * VW])
+                u_dst[:, t * VW:(t + 1) * VW] = (
+                    U * oks[t] if oks is not None else U)
+
+        @pl.when(jnp.logical_not(fit))
+        def _():
+            rys, rxs = [], []
+            for t in range(XG):
+                rys.append((Sys[t] // 8) * 8)
+                rxs.append((Sxs[t] // 128) * 128)
+                pltpu.make_async_copy(
+                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).start()
+            ii = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 1)
+            ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 0)
+            jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 1)
+            for t in range(XG):
+                pltpu.make_async_copy(
+                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).wait()
+                Rsel = (jj == (Sys[t] - rys[t]) + ii).astype(jnp.float32)
+                Csel = (ii2 == (Sxs[t] - rxs[t]) + jj2).astype(jnp.float32)
+                U = _sel_dot(Rsel, _dot_sel(win_ref[t], Csel))
+                u_dst[:, t * VW:(t + 1) * VW] = (
+                    U * oks[t] if oks is not None else U)
+
+    if bm:
+        # ---- L1 block-matching prologue (radius 1): search windows at
+        # round(flow)-1; zero-fill OOB comes from the ts+2 zero pad, which
+        # equals the reference search pad (ts+2r with r=1).
+        ix0s, iy0s, Wys, Wxs = [], [], [], []
+        for t in range(XG):
+            j = jg_ * XG + t
+            ix0 = jnp.round(ax[t])
+            iy0 = jnp.round(ay[t])
+            ix0s.append(ix0)
+            iy0s.append(iy0)
+            Tby = i * ts + iy0.astype(jnp.int32) - 1
+            Tbx = j * ts + ix0.astype(jnp.int32) - 1
+            Wys.append(jnp.clip(Tby, -PAD, h) + PAD)
+            Wxs.append(jnp.clip(Tbx, -PAD, w) + PAD)
+        realign(ub_ref, Wys, Wxs, None, SWIN)
+
+        bi = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, XG * ts), 0)
+        bj = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, XG * ts), 1)
+        bsrc = (bj // ts) * SWIN + (bj % ts)
+        best = [None] * XG
+        bdx = [None] * XG
+        bdy = [None] * XG
+        for sy in range(3):
+            base = ub_ref[sy:sy + ts]                     # (ts, XG*SWIN)
+            for sx in range(3):
+                tap = (bi == bsrc + sx).astype(jnp.float32)
+                D = jnp.abs(ref_ref[:] - _dot_sel(base, tap))
+                for t in range(XG):
+                    e = jnp.sum(D[:, t * ts:(t + 1) * ts])
+                    if sy == 0 and sx == 0:
+                        best[t] = e
+                        bdy[t] = jnp.float32(-1.0)
+                        bdx[t] = jnp.float32(-1.0)
+                    else:
+                        u = e < best[t]                   # first-min ties
+                        best[t] = jnp.where(u, e, best[t])
+                        bdy[t] = jnp.where(u, jnp.float32(sy - 1), bdy[t])
+                        bdx[t] = jnp.where(u, jnp.float32(sx - 1), bdx[t])
+        for t in range(XG):
+            ax[t] = ix0s[t] + bdx[t]
+            ay[t] = iy0s[t] + bdy[t]
+
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
     ti = jax.lax.broadcasted_iota(jnp.int32, (SLAB, XG * ts), 0)
@@ -220,7 +352,7 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, XG * ts), 1) // ts
 
     for _ in range(n_iter):
-        # ---- scalar phase: per-tile window origins + group bounds
+        # ---- scalar phase: per-tile window origins
         frac_x, frac_y, oks, Sys, Sxs = [], [], [], [], []
         for t in range(XG):
             j = jg_ * XG + t
@@ -238,67 +370,7 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
             Sys.append(Syc)
             Sxs.append(Sxc)
 
-        min_y = max_y = Sys[0]
-        min_x = max_x = Sxs[0]
-        for t in range(1, XG):
-            min_y = jnp.minimum(min_y, Sys[t])
-            max_y = jnp.maximum(max_y, Sys[t])
-            min_x = jnp.minimum(min_x, Sxs[t])
-            max_x = jnp.maximum(max_x, Sxs[t])
-        # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
-        gby = (jnp.clip(min_y, 0, hp - _GROWS) // 8) * 8
-        gbx = (jnp.clip(min_x, 0, wp - _GCOLS) // 128) * 128
-        fit = (((max_y - gby) <= _GROWS - WIN) &
-               ((max_x - gbx) <= _GCOLS - WIN))
-
-        # speculative group fetch (wasted only on the rare non-fit path)
-        gdma = pltpu.make_async_copy(
-            mov_ref.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
-            gwin_ref, sem_g)
-        gdma.start()
-        gdma.wait()
-
-        @pl.when(fit)
-        def _():
-            # column realignment of ALL tiles in one selection matmul
-            dxv = jnp.zeros((1, SLAB), jnp.int32)
-            dyl = []
-            l17 = jax.lax.broadcasted_iota(jnp.int32, (1, SLAB), 1) // WIN
-            for t in range(XG):
-                dxv = dxv + (Sxs[t] - gbx) * (l17 == t).astype(jnp.int32)
-                dyl.append(Sys[t] - gby)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SLAB), 0)
-            cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SLAB), 1)
-            Call = (ci == dxv + (cj % WIN)).astype(jnp.float32)
-            X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SLAB)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (WIN, _GROWS), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (WIN, _GROWS), 1)
-            for t in range(XG):
-                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
-                u_ref[:, t * WIN:(t + 1) * WIN] = _sel_dot(
-                    Rsel, X[:, t * WIN:(t + 1) * WIN]) * oks[t]
-
-        @pl.when(jnp.logical_not(fit))
-        def _():
-            rys, rxs = [], []
-            for t in range(XG):
-                rys.append((Sys[t] // 8) * 8)
-                rxs.append((Sxs[t] // 128) * 128)
-                pltpu.make_async_copy(
-                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
-                    win_ref.at[t], sem.at[t]).start()
-            ii = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (WIN, ROWS), 1)
-            ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, WIN), 0)
-            jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, WIN), 1)
-            for t in range(XG):
-                pltpu.make_async_copy(
-                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
-                    win_ref.at[t], sem.at[t]).wait()
-                Rsel = (jj == (Sys[t] - rys[t]) + ii).astype(jnp.float32)
-                Csel = (ii2 == (Sxs[t] - rxs[t]) + jj2).astype(jnp.float32)
-                u_ref[:, t * WIN:(t + 1) * WIN] = _sel_dot(
-                    Rsel, _dot_sel(win_ref[t], Csel)) * oks[t]
+        realign(u_ref, Sys, Sxs, oks, WIN)
 
         # ---- shared slab phase: bilinear taps + GN right-hand sides
         fxv = jnp.zeros((1, XG * ts), jnp.float32)

@@ -224,3 +224,31 @@ class TestPallasICA:
                                          jnp.asarray(img), flow0, 16, 2,
                                          interpret=True))
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_fused_bm_ica_matches_separate(self, seed):
+        """Fused L1-matching + ICA kernel vs match_l1 -> refine_ica_tiled.
+
+        Images are quantized to 1/256 so the L1 candidate errors are dyadic
+        sums (exact in f32 in any order) — the argmin, and hence the matched
+        integer flow, is then implementation-independent.
+        """
+        from hmsr_tpu.models.block_matching import match_l1
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.ops.pallas_ica import match_l1_refine_ica_pallas
+        rng = np.random.RandomState(seed)
+        img = np.round(smooth_image(64, 96, seed=seed) * 256) / 256
+        mov = np.round(shifted(img, 1.4, -2.3) * 256) / 256
+        img = img.astype(np.float32)
+        mov = mov.astype(np.float32)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        flow0 = jnp.asarray((rng.rand(4, 6, 2) * 6 - 3).astype(np.float32))
+
+        bm = match_l1(jnp.asarray(img), jnp.asarray(mov), flow0, ts, 1)
+        want = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                           jnp.asarray(mov), bm, ts, 3))
+        got = np.asarray(match_l1_refine_ica_pallas(
+            jnp.asarray(img), state, jnp.asarray(mov), flow0, ts, 3,
+            interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
