@@ -170,31 +170,8 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
     return out.reshape(ny, NTXP, 2)[:, :nx]
 
 
-def _f32_parts(x):
-    """Split f32 into three exactly-bf16-representable f32 terms (h+m+l == x).
-
-    See pallas_merge._f32_parts — lets 0/1 selection matmuls run at
-    single-pass DEFAULT precision while staying bit-exact.
-    """
-    mask = jnp.int32(-65536)
-    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-    h = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
-    r = x - h
-    rbits = jax.lax.bitcast_convert_type(r, jnp.int32)
-    m = jax.lax.bitcast_convert_type(rbits & mask, jnp.float32)
-    return h, m, r - m
-
-
-def _sel_dot(sel, x):
-    h, m, l = _f32_parts(x)
-    d = lambda p: jnp.dot(sel, p, preferred_element_type=jnp.float32)
-    return (d(h) + d(m)) + d(l)
-
-
-def _dot_sel(x, sel):
-    h, m, l = _f32_parts(x)
-    d = lambda p: jnp.dot(p, sel, preferred_element_type=jnp.float32)
-    return (d(h) + d(m)) + d(l)
+# exact bf16x3 selection matmuls (shared with the merge kernel)
+from .pallas_merge import _dot_sel, _sel_dot  # noqa: E402
 
 
 def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,

@@ -413,9 +413,12 @@ def _prep_tile(t, i, j, params_ref, flow_ref, r_ref, rry, rrx,
     U = _sel_dot(Rsel, _dot_sel(comp_win[:], Csel))        # (SEG, SEG)
 
     if not iso:
-        R2 = _selection_rows(CSEG, cov_win.shape[1], dy2, ph2_y, sg)
+        crows = cov_win.shape[1]
+        R2 = _selection_rows(CSEG, crows, dy2, ph2_y, sg)
         C2 = _selection_rows(CSEG, cov_win.shape[2], dx2, ph2_x, sg).T
-        cc_win = [_sel_dot(R2, _dot_sel(cov_win[ch], C2))
+        # one column matmul for all 3 cov channels (they share the selection)
+        Y2 = _dot_sel(cov_win[:].reshape(3 * crows, cov_win.shape[2]), C2)
+        cc_win = [_sel_dot(R2, Y2[ch * crows:(ch + 1) * crows])
                   for ch in range(3)]                      # 3 x (CSEG, CSEG)
 
         kfloor_y = S2y1 + (r_loc + ph2_y) // sg

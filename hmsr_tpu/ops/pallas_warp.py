@@ -20,6 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
+from .pallas_merge import _dot_sel, _sel_dot
 
 _DMA_COLS = 256
 
@@ -168,23 +169,21 @@ def _warp_tile(t, i, j, params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
 
     dma.wait()
 
-    # realign + upsample: SEG = Ts + 2u rows/cols of the u-repeated window
-    hi = jax.lax.Precision.HIGHEST
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, win_ref.shape[1]), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, win_ref.shape[1]), 1)
+    # realign + upsample: SEG = Ts + 2u rows/cols of the u-repeated window.
+    # Columns first for all channels in one stacked matmul (right-to-left
+    # order halves the MACs); exact bf16x3 selection matmuls (pallas_merge).
+    ROWS = win_ref.shape[1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)
     Rsel = (jj == dy + (ii + ph_y) // u).astype(jnp.float32)
-    ii2 = jax.lax.broadcasted_iota(jnp.int32, (SEG, win_ref.shape[2]), 0)
-    jj2 = jax.lax.broadcasted_iota(jnp.int32, (SEG, win_ref.shape[2]), 1)
-    Csel = (jj2 == dx + (ii2 + ph_x) // u).astype(jnp.float32).T
+    ii2 = jax.lax.broadcasted_iota(jnp.int32, (win_ref.shape[2], SEG), 0)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (win_ref.shape[2], SEG), 1)
+    Csel = (ii2 == dx + (jj2 + ph_x) // u).astype(jnp.float32)
 
     acc = [jnp.zeros((Ts, Ts), jnp.float32) for _ in range(c)]
     w_acc = jnp.zeros((Ts, Ts), jnp.float32)
-    Us = []
-    for ch in range(c):
-        Us.append(jnp.dot(jnp.dot(Rsel, win_ref[ch],
-                                  preferred_element_type=jnp.float32,
-                                  precision=hi), Csel,
-                          preferred_element_type=jnp.float32, precision=hi))
+    Y = _dot_sel(win_ref[:].reshape(c * ROWS, win_ref.shape[2]), Csel)
+    Us = [_sel_dot(Rsel, Y[ch * ROWS:(ch + 1) * ROWS]) for ch in range(c)]
 
     for di in (-1, 0, 1):
         yc = jnp.clip(center_y + di, 0, lh - 1).astype(jnp.float32)
