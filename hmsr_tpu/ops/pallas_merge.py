@@ -31,6 +31,10 @@ from ..utils.types import DEFAULT_FLOAT
 
 _DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
 
+#: group-window width: covers the XG x-adjacent tile windows of a program
+#: plus 128-alignment slack, for every supported (tile_size, scale) pair
+_GCOLS_M = 512
+
 
 def _dma_rows(win):
     """Rows of the aligned DMA block covering a win-row window + 8-alignment."""
@@ -137,12 +141,14 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
 
     rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
                               np.ones((s, 1), np.float32)))
-    rrx = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
+    rrx = jnp.asarray(np.kron(np.eye(XG * Ts, dtype=np.float32),
                               np.ones((1, s), np.float32)))
 
     kernel = functools.partial(
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
-        H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa)
+        H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa,
+        hpc=comp_pad.shape[0], wpc=comp_pad.shape[1],
+        hpk=cov_pad.shape[1], wpk=cov_pad.shape[2])
 
     grid_spec = pl.GridSpec(
         grid=(nty, NTXP // XG),
@@ -166,10 +172,16 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),   # tile fallback
             pltpu.VMEM((2, 3, ROWS_K, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((ROWS_C + 16, _GCOLS_M), jnp.float32),  # comp group
+            pltpu.VMEM((3, ROWS_K + 16, _GCOLS_M), jnp.float32),  # cov group
+            pltpu.VMEM((B + 2 * s, XG * (B + 2 * s)), jnp.float32),   # U slab
+            pltpu.VMEM((3, B + 2 * sg, XG * (B + 2 * sg)), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
@@ -222,99 +234,247 @@ def _dot_sel(x, sel):
     return (d(h) + d(m)) + d(l)
 
 
-def _start_dmas(slot, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
-                sem_c, sem_k, iso):
-    """Kick off the window DMAs for tile j into buffer ``slot``."""
-    p0 = j * 14
-    Syp = params_ref[0, 0, p0 + 0]
-    Sxp = params_ref[0, 0, p0 + 1]
-    ry_al = (Syp // 8) * 8
-    rx_al = (Sxp // 128) * 128
-    dma_c = pltpu.make_async_copy(
-        comp_ref.at[pl.ds(ry_al, comp_win.shape[1]),
-                    pl.ds(rx_al, comp_win.shape[2])],
-        comp_win.at[slot], sem_c.at[slot])
-    dma_c.start()
-    if not iso:
-        S2yp = params_ref[0, 0, p0 + 4]
-        S2xp = params_ref[0, 0, p0 + 5]
-        r2y_al = (S2yp // 8) * 8
-        r2x_al = (S2xp // 128) * 128
-        dma_k = pltpu.make_async_copy(
-            cov_ref.at[:, pl.ds(r2y_al, cov_win.shape[2]),
-                       pl.ds(r2x_al, cov_win.shape[3])],
-            cov_win.at[slot], sem_k.at[slot])
-        dma_k.start()
-    return dma_c
-
-
-def _wait_dmas(slot, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
-               sem_c, sem_k, iso):
-    p0 = j * 14
-    Syp = params_ref[0, 0, p0 + 0]
-    Sxp = params_ref[0, 0, p0 + 1]
-    ry_al = (Syp // 8) * 8
-    rx_al = (Sxp // 128) * 128
-    pltpu.make_async_copy(
-        comp_ref.at[pl.ds(ry_al, comp_win.shape[1]),
-                    pl.ds(rx_al, comp_win.shape[2])],
-        comp_win.at[slot], sem_c.at[slot]).wait()
-    if not iso:
-        S2yp = params_ref[0, 0, p0 + 4]
-        S2xp = params_ref[0, 0, p0 + 5]
-        r2y_al = (S2yp // 8) * 8
-        r2x_al = (S2xp // 128) * 128
-        pltpu.make_async_copy(
-            cov_ref.at[:, pl.ds(r2y_al, cov_win.shape[2]),
-                       pl.ds(r2x_al, cov_win.shape[3])],
-            cov_win.at[slot], sem_k.at[slot]).wait()
-
-
 def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-                        rry, rrx, val_ref, acc_ref, comp_win, cov_win,
-                        sem_c, sem_k,
+                        rry, rrx, val_ref, acc_ref,
+                        comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
+                        sem_c, sem_k, gsem_c, gsem_k,
                         *, s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
-                        n_ch, cfa):
+                        n_ch, cfa, hpc, wpc, hpk, wpk):
+    """One output row-group of XG tiles.
+
+    Window fetches use ONE speculative group DMA per program for the
+    comp image (and one for the covariance grid): the XG tile windows are
+    x-adjacent and flow is smooth, so they almost always fit one
+    (GROWS, _GCOLS_M) block; a per-tile-DMA fallback keeps exactness for
+    wild flow. Realigned windows land in the U / covariance slabs and ALL
+    remaining math (guide-grid bilinear covariance interpolation, 2x2
+    inversion, 3x3 kernel-regression taps) runs on (B, XG*B) slabs.
+    """
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
-    # Phase 1 (per tile, double-buffered DMA): fetch + realign windows and
-    # interpolate/invert covariances. Per-tile results are kept as values.
-    tiles = []
-    _start_dmas(0, jg_ * XG, params_ref, comp_ref, cov_ref, comp_win, cov_win,
-                sem_c, sem_k, iso)
+    half = jnp.float32(0.5)
+    sg = s * g
+    SEG = B + 2 * s
+    CSEG = B + 2 * sg
+    GR_C, GCOLS = gwin_c.shape
+    GR_K = gwin_k.shape[1]
+    ROWS_C = comp_win.shape[1]
+    ROWS_K = cov_win.shape[2]
+
+    # ---- per-tile scalars
+    names = ["Syp", "Sxp", "phy", "phx", "S2yp", "S2xp", "ph2y", "ph2x",
+             "Sy1", "Sx1", "S2y1", "S2x1", "okl"]
+    P = {n: [] for n in names}
+    fxl, fyl = [], []
     for t in range(XG):
-        j = jg_ * XG + t
-        if t + 1 < XG:
-            _start_dmas((t + 1) % 2, j + 1, params_ref, comp_ref, cov_ref,
-                        comp_win, cov_win, sem_c, sem_k, iso)
-        _wait_dmas(t % 2, j, params_ref, comp_ref, cov_ref, comp_win, cov_win,
-                   sem_c, sem_k, iso)
-        tiles.append(_prep_tile(t, i, j, params_ref, flow_ref, r_ref, rry, rrx,
-                                comp_win.at[t % 2], cov_win.at[t % 2],
-                                s=s, g=g, Ts=Ts, B=B, WIN=WIN, CWIN=CWIN,
-                                H=H, W=W, iso=iso))
+        p0 = (jg_ * XG + t) * 14
+        for k, n in enumerate(names):
+            P[n].append(params_ref[0, 0, p0 + k])
+        fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
+        fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
-    # Phase 2 (group-wide slabs): all tap math on (B, XG*B) arrays.
-    def cat(key):
-        return jnp.concatenate([tl[key] for tl in tiles], axis=-1)
+    def bounds(ys, xs, GR, hp, wp):
+        mny = mxy = ys[0]
+        mnx = mxx = xs[0]
+        for t in range(1, XG):
+            mny = jnp.minimum(mny, ys[t])
+            mxy = jnp.maximum(mxy, ys[t])
+            mnx = jnp.minimum(mnx, xs[t])
+            mxx = jnp.maximum(mxx, xs[t])
+        gby = (jnp.clip(mny, 0, hp - GR) // 8) * 8
+        gbx = (jnp.clip(mnx, 0, wp - GCOLS) // 128) * 128
+        return gby, gbx, mxy, mxx
 
+    def lanevec(vals, lane_of):
+        out = jnp.zeros(lane_of.shape, jnp.int32)
+        for t in range(XG):
+            out = out + vals[t] * (lane_of == t).astype(jnp.int32)
+        return out
+
+    # ---- speculative group fetches (wasted only on the rare non-fit path)
+    gby, gbx, mxy, mxx = bounds(P["Syp"], P["Sxp"], GR_C, hpc, wpc)
+    fit_c = ((mxy - gby) <= GR_C - WIN) & ((mxx - gbx) <= GCOLS - WIN)
+    gd_c = pltpu.make_async_copy(
+        comp_ref.at[pl.ds(gby, GR_C), pl.ds(gbx, GCOLS)], gwin_c, gsem_c)
+    gd_c.start()
+    if not iso:
+        gbyk, gbxk, mxyk, mxxk = bounds(P["S2yp"], P["S2xp"], GR_K, hpk, wpk)
+        fit_k = ((mxyk - gbyk) <= GR_K - CWIN) & ((mxxk - gbxk) <= GCOLS - CWIN)
+        gd_k = pltpu.make_async_copy(
+            cov_ref.at[:, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS)],
+            gwin_k, gsem_k)
+        gd_k.start()
+    gd_c.wait()
+
+    # ---- comp realignment/upsampling into the U slab
+    @pl.when(fit_c)
+    def _():
+        lC = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
+        dxv = lanevec([P["Sxp"][t] - gbx for t in range(XG)], lC)
+        phv = lanevec(P["phx"], lC)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
+        Call = (ci == dxv + ((cj % SEG) + phv) // s).astype(jnp.float32)
+        X = _dot_sel(gwin_c[:], Call)                   # (GR_C, XG*SEG)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
+        for t in range(XG):
+            Rsel = (rj == (P["Syp"][t] - gby) +
+                    (ri + P["phy"][t]) // s).astype(jnp.float32)
+            u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
+                Rsel, X[:, t * SEG:(t + 1) * SEG])
+
+    @pl.when(jnp.logical_not(fit_c))
+    def _():
+        rys = [(P["Syp"][t] // 8) * 8 for t in range(XG)]
+        rxs = [(P["Sxp"][t] // 128) * 128 for t in range(XG)]
+
+        def start(t):
+            pltpu.make_async_copy(
+                comp_ref.at[pl.ds(rys[t], ROWS_C), pl.ds(rxs[t], _DMA_COLS)],
+                comp_win.at[t % 2], sem_c.at[t % 2]).start()
+
+        start(0)
+        for t in range(XG):
+            if t + 1 < XG:
+                start(t + 1)
+            pltpu.make_async_copy(
+                comp_ref.at[pl.ds(rys[t], ROWS_C), pl.ds(rxs[t], _DMA_COLS)],
+                comp_win.at[t % 2], sem_c.at[t % 2]).wait()
+            Rsel = _selection_rows(SEG, ROWS_C, P["Syp"][t] - rys[t],
+                                   P["phy"][t], s)
+            Csel = _selection_rows(SEG, _DMA_COLS, P["Sxp"][t] - rxs[t],
+                                   P["phx"][t], s).T
+            u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
+                Rsel, _dot_sel(comp_win[t % 2], Csel))
+
+    # ---- covariance realignment/upsampling into the cc slab
+    if not iso:
+        gd_k.wait()
+
+        @pl.when(fit_k)
+        def _():
+            lK = jax.lax.broadcasted_iota(jnp.int32, (1, XG * CSEG), 1) // CSEG
+            dxv = lanevec([P["S2xp"][t] - gbxk for t in range(XG)], lK)
+            phv = lanevec(P["ph2x"], lK)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * CSEG), 0)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * CSEG), 1)
+            Ck = (ci == dxv + ((cj % CSEG) + phv) // sg).astype(jnp.float32)
+            Yk = _dot_sel(gwin_k[:].reshape(3 * GR_K, GCOLS), Ck)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 1)
+            for t in range(XG):
+                R2 = (rj == (P["S2yp"][t] - gbyk) +
+                      (ri + P["ph2y"][t]) // sg).astype(jnp.float32)
+                for ch in range(3):
+                    cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
+                        R2, Yk[ch * GR_K:(ch + 1) * GR_K,
+                               t * CSEG:(t + 1) * CSEG])
+
+        @pl.when(jnp.logical_not(fit_k))
+        def _():
+            rys = [(P["S2yp"][t] // 8) * 8 for t in range(XG)]
+            rxs = [(P["S2xp"][t] // 128) * 128 for t in range(XG)]
+
+            def start(t):
+                pltpu.make_async_copy(
+                    cov_ref.at[:, pl.ds(rys[t], ROWS_K),
+                               pl.ds(rxs[t], _DMA_COLS)],
+                    cov_win.at[t % 2], sem_k.at[t % 2]).start()
+
+            start(0)
+            for t in range(XG):
+                if t + 1 < XG:
+                    start(t + 1)
+                pltpu.make_async_copy(
+                    cov_ref.at[:, pl.ds(rys[t], ROWS_K),
+                               pl.ds(rxs[t], _DMA_COLS)],
+                    cov_win.at[t % 2], sem_k.at[t % 2]).wait()
+                R2 = _selection_rows(CSEG, ROWS_K, P["S2yp"][t] - rys[t],
+                                     P["ph2y"][t], sg)
+                C2 = _selection_rows(CSEG, _DMA_COLS, P["S2xp"][t] - rxs[t],
+                                     P["ph2x"][t], sg).T
+                Y2 = _dot_sel(cov_win[t % 2].reshape(3 * ROWS_K, _DMA_COLS),
+                              C2)
+                for ch in range(3):
+                    cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
+                        R2, Y2[ch * ROWS_K:(ch + 1) * ROWS_K])
+
+    # ---- shared slab phase: geometry, covariance interp/inversion, taps
+    r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, XG * B), 1)
+    c_mod = lane % B
+    lb = lane // B
+
+    def lanef(vals):
+        out = jnp.zeros((1, XG * B), jnp.float32)
+        for t in range(XG):
+            out = out + vals[t] * (lb == t).astype(jnp.float32)
+        return out
+
+    Sy1v = lanevec(P["Sy1"], lb)
+    Sx1v = lanevec(P["Sx1"], lb)
+    phyv = lanevec(P["phy"], lb)
+    phxv = lanevec(P["phx"], lb)
+    okv = lanevec(P["okl"], lb)
+    fxv = lanef(fxl)
+    fyv = lanef(fyl)
+
+    center_i = Sy1v + (r_loc + phyv) // s               # (B, XG*B)
+    center_j = Sx1v + (c_mod + phxv) // s               # (1, XG*B)
+    Rrow = (i * B + r_loc).astype(jnp.float32)
+    Ccol = (jg_ * (XG * B) + lane).astype(jnp.float32)
+    lr_mov_y = (Rrow + half) / s + fyv
+    lr_mov_x = (Ccol + half) / s + fxv
+    inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                  (lr_mov_x >= 0) & (lr_mov_x < W) & (okv > 0))
+
+    local_r = _sel_dot(rry[:], _dot_sel(r_ref[:], rrx[:]))
+    wr = jnp.where(inb_center, local_r, 0.0)
+    dist_ref_y = lr_mov_y - half
+    dist_ref_x = lr_mov_x - half
+
+    Uv = u_slab[:]
     U_taps = {}
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             U_taps[(di, dj)] = jnp.concatenate(
-                [tl["U"][s * (di + 1):s * (di + 1) + B,
-                         s * (dj + 1):s * (dj + 1) + B] for tl in tiles],
-                axis=-1)
+                [Uv[s * (di + 1):s * (di + 1) + B,
+                    t * SEG + s * (dj + 1):t * SEG + s * (dj + 1) + B]
+                 for t in range(XG)], axis=-1)
 
-    center_i = cat("center_i")
-    center_j = cat("center_j")
-    wr = cat("wr")
-    dist_ref_y = cat("dist_ref_y")
-    dist_ref_x = cat("dist_ref_x")
     if not iso:
-        ixx = cat("ixx")
-        ixy = cat("ixy")
-        iyy = cat("iyy")
+        S2y1v = lanevec(P["S2y1"], lb)
+        S2x1v = lanevec(P["S2x1"], lb)
+        ph2yv = lanevec(P["ph2y"], lb)
+        ph2xv = lanevec(P["ph2x"], lb)
+        kfloor_y = S2y1v + (r_loc + ph2yv) // sg
+        kfloor_x = S2x1v + (c_mod + ph2xv) // sg
+        frac_y = lr_mov_y / g - half - kfloor_y.astype(jnp.float32)
+        frac_x = lr_mov_x / g - half - kfloor_x.astype(jnp.float32)
+
+        CCv = cc_slab[:]
+
+        def ctap(ch, dyy, dxx):
+            return jnp.concatenate(
+                [CCv[ch, sg * (dyy + 1):sg * (dyy + 1) + B,
+                     t * CSEG + sg * (dxx + 1):t * CSEG + sg * (dxx + 1) + B]
+                 for t in range(XG)], axis=-1)
+
+        cc = []
+        for ch in range(3):
+            c00 = ctap(ch, 0, 0)
+            c01 = ctap(ch, 0, 1)
+            c10 = ctap(ch, 1, 0)
+            c11 = ctap(ch, 1, 1)
+            top = c00 + frac_x * (c01 - c00)
+            bot = c10 + frac_x * (c11 - c10)
+            cc.append(top + frac_y * (bot - top))
+        det = cc[0] * cc[2] - cc[1] * cc[1]
+        inv_det = 1.0 / det
+        ixx = inv_det * cc[2]
+        ixy = -inv_det * cc[1]
+        iyy = inv_det * cc[0]
 
     vals = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
     accs = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
@@ -351,112 +511,3 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     for k in range(n_ch):
         val_ref[k] = vals[k]
         acc_ref[k] = accs[k]
-
-
-def _prep_tile(t, i, j, params_ref, flow_ref, r_ref, rry, rrx,
-               comp_win, cov_win,
-               *, s, g, Ts, B, WIN, CWIN, H, W, iso):
-    sg = s * g
-    half = jnp.float32(0.5)
-    SEG = B + 2 * s
-    CSEG = B + 2 * sg
-
-    p0 = j * 14
-    Syp = params_ref[0, 0, p0 + 0]        # window start in padded coords
-    Sxp = params_ref[0, 0, p0 + 1]
-    ph_y = params_ref[0, 0, p0 + 2]
-    ph_x = params_ref[0, 0, p0 + 3]
-    S2yp = params_ref[0, 0, p0 + 4]
-    S2xp = params_ref[0, 0, p0 + 5]
-    ph2_y = params_ref[0, 0, p0 + 6]
-    ph2_x = params_ref[0, 0, p0 + 7]
-    Sy1 = params_ref[0, 0, p0 + 8]
-    Sx1 = params_ref[0, 0, p0 + 9]
-    S2y1 = params_ref[0, 0, p0 + 10]
-    S2x1 = params_ref[0, 0, p0 + 11]
-    ok = params_ref[0, 0, p0 + 12]
-    fx = flow_ref[0, 0, j * 2 + 0]
-    fy = flow_ref[0, 0, j * 2 + 1]
-
-    # window DMAs were issued by the group loop (double buffered); compute
-    # the in-buffer remainders
-    dy = Syp - (Syp // 8) * 8
-    dx = Sxp - (Sxp // 128) * 128
-    if not iso:
-        dy2 = S2yp - (S2yp // 8) * 8
-        dx2 = S2xp - (S2xp // 128) * 128
-
-    r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)      # (B, 1)
-    c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)      # (1, B)
-
-    # ---- geometry
-    center_i = Sy1 + (r_loc + ph_y) // s
-    center_j = Sx1 + (c_loc + ph_x) // s
-    Rrow = (i * B + r_loc).astype(jnp.float32)
-    Ccol = (j * B + c_loc).astype(jnp.float32)
-    lr_y = (Rrow + half) / s
-    lr_x = (Ccol + half) / s
-    lr_mov_y = lr_y + fy
-    lr_mov_x = lr_x + fx
-    inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
-                  (lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0))
-
-    local_r = _sel_dot(rry[:], _dot_sel(r_ref[:, t * Ts:(t + 1) * Ts],
-                                        rrx[:]))
-    wr = jnp.where(inb_center, local_r, 0.0)
-
-    # ---- selection-matmul realignment + upsampling: U = R @ (dma @ C).
-    # Right-to-left order halves the MACs; the bf16x3 split in _sel_dot /
-    # _dot_sel keeps the copy exact at single-pass MXU cost.
-    Rsel = _selection_rows(SEG, comp_win.shape[0], dy, ph_y, s)
-    Csel = _selection_rows(SEG, comp_win.shape[1], dx, ph_x, s).T
-    U = _sel_dot(Rsel, _dot_sel(comp_win[:], Csel))        # (SEG, SEG)
-
-    if not iso:
-        crows = cov_win.shape[1]
-        R2 = _selection_rows(CSEG, crows, dy2, ph2_y, sg)
-        C2 = _selection_rows(CSEG, cov_win.shape[2], dx2, ph2_x, sg).T
-        # one column matmul for all 3 cov channels (they share the selection)
-        Y2 = _dot_sel(cov_win[:].reshape(3 * crows, cov_win.shape[2]), C2)
-        cc_win = [_sel_dot(R2, Y2[ch * crows:(ch + 1) * crows])
-                  for ch in range(3)]                      # 3 x (CSEG, CSEG)
-
-        kfloor_y = S2y1 + (r_loc + ph2_y) // sg
-        kfloor_x = S2x1 + (c_loc + ph2_x) // sg
-        kmap_y = lr_mov_y / g - half
-        kmap_x = lr_mov_x / g - half
-        frac_y = kmap_y - kfloor_y.astype(jnp.float32)
-        frac_x = kmap_x - kfloor_x.astype(jnp.float32)
-
-        def ctap(ch, dyy, dxx):
-            return cc_win[ch][sg * (dyy + 1):sg * (dyy + 1) + B,
-                              sg * (dxx + 1):sg * (dxx + 1) + B]
-
-        cc = []
-        for ch in range(3):
-            c00 = ctap(ch, 0, 0)
-            c01 = ctap(ch, 0, 1)
-            c10 = ctap(ch, 1, 0)
-            c11 = ctap(ch, 1, 1)
-            top = c00 + frac_x * (c01 - c00)
-            bot = c10 + frac_x * (c11 - c10)
-            cc.append(top + frac_y * (bot - top))
-        det = cc[0] * cc[2] - cc[1] * cc[1]
-        inv_det = 1.0 / det
-        ixx = inv_det * cc[2]
-        ixy = -inv_det * cc[1]
-        iyy = inv_det * cc[0]
-
-    out = {
-        "U": U,
-        "center_i": jnp.broadcast_to(center_i, (B, B)),
-        "center_j": center_j,                    # (1, B)
-        "wr": wr,                                # (B, B)
-        "dist_ref_y": jnp.broadcast_to(lr_mov_y - half, (B, B)),
-        "dist_ref_x": lr_mov_x - half,           # (1, B)
-    }
-    if not iso:
-        out["ixx"] = ixx
-        out["ixy"] = ixy
-        out["iyy"] = iyy
-    return out
