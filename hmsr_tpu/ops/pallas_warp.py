@@ -81,7 +81,8 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
 
     kernel = functools.partial(
         _warp_kernel, u=u, Ts=Ts, XG=XG, WIN=WIN, SEG=SEG, c=c,
-        lh=lh, lw=lw, H=H, W=W)
+        lh=lh, lw=lw, H=H, W=W,
+        hps=stats_pad.shape[1], wps=stats_pad.shape[2])
 
     grid_spec = pl.GridSpec(
         grid=(nty, NTXP // XG),
@@ -99,7 +100,10 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, ROWS, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((c, ROWS, _DMA_COLS), jnp.float32),   # tile fallback
+            pltpu.VMEM((c, ROWS + 16, 512), jnp.float32),    # group window
+            pltpu.VMEM((c, SEG, XG * SEG), jnp.float32),     # U slab
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -115,16 +119,6 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     return hr[:, :H, :W], valid[:H, :W] > 0.5
 
 
-def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
-                 win_ref, sem, *, u, Ts, XG, WIN, SEG, c, lh, lw, H, W):
-    i = pl.program_id(0)
-    jg_ = pl.program_id(1)
-    for t in range(XG):
-        _warp_tile(t, i, jg_ * XG + t, params_ref, flow_ref, stats_ref,
-                   hr_ref, valid_ref, win_ref, sem, u=u, Ts=Ts, WIN=WIN,
-                   SEG=SEG, c=c, lh=lh, lw=lw, H=H, W=W)
-
-
 def _dogson(x):
     ax = jnp.abs(x)
     near = -2.0 * ax * ax + 1.0
@@ -132,72 +126,160 @@ def _dogson(x):
     return jnp.where(ax <= 0.5, near, jnp.where(ax <= 1.5, mid, 0.0))
 
 
-def _warp_tile(t, i, j, params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
-               win_ref, sem, *, u, Ts, WIN, SEG, c, lh, lw, H, W):
+def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
+                 win_ref, gwin_ref, u_slab, sem, gsem, *,
+                 u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps):
+    """Group-window rewrite: one speculative DMA covers the XG x-adjacent
+    tile windows (per-tile fallback for wild flow); realignment is one
+    column-selection matmul for the group + a small row matmul per tile;
+    the Dodgson 3x3 stencil then runs on (Ts, XG*Ts) slabs."""
+    i = pl.program_id(0)
+    jg_ = pl.program_id(1)
     half = jnp.float32(0.5)
-    p0 = j * 8
-    Syp = params_ref[0, 0, p0 + 0]
-    Sxp = params_ref[0, 0, p0 + 1]
-    ph_y = params_ref[0, 0, p0 + 2]
-    ph_x = params_ref[0, 0, p0 + 3]
-    Sy1 = params_ref[0, 0, p0 + 4]
-    Sx1 = params_ref[0, 0, p0 + 5]
-    ok = params_ref[0, 0, p0 + 6]
-    fx = flow_ref[0, 0, j * 2 + 0]
-    fy = flow_ref[0, 0, j * 2 + 1]
-
-    ry_al = (Syp // 8) * 8
-    rx_al = (Sxp // 128) * 128
-    dy = Syp - ry_al
-    dx = Sxp - rx_al
-    dma = pltpu.make_async_copy(
-        stats_ref.at[:, pl.ds(ry_al, win_ref.shape[1]),
-                     pl.ds(rx_al, win_ref.shape[2])], win_ref, sem)
-    dma.start()
-
-    r_loc = jax.lax.broadcasted_iota(jnp.int32, (Ts, 1), 0)
-    c_loc = jax.lax.broadcasted_iota(jnp.int32, (1, Ts), 1)
-    Yg = (i * Ts + r_loc).astype(jnp.float32)
-    Xg = (j * Ts + c_loc).astype(jnp.float32)
-    lr_y = (Yg + fy + half) / u - half                  # (Ts, 1)
-    lr_x = (Xg + fx + half) / u - half                  # (1, Ts)
-    valid = (((lr_y >= 0) & (lr_y < lh)) &
-             ((lr_x >= 0) & (lr_x < lw)) & (ok > 0))
-
-    center_y = Sy1 + (r_loc + ph_y) // u                # (Ts, 1) global
-    center_x = Sx1 + (c_loc + ph_x) // u
-
-    dma.wait()
-
-    # realign + upsample: SEG = Ts + 2u rows/cols of the u-repeated window.
-    # Columns first for all channels in one stacked matmul (right-to-left
-    # order halves the MACs); exact bf16x3 selection matmuls (pallas_merge).
+    GR, GCOLS = gwin_ref.shape[1], gwin_ref.shape[2]
     ROWS = win_ref.shape[1]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)
-    Rsel = (jj == dy + (ii + ph_y) // u).astype(jnp.float32)
-    ii2 = jax.lax.broadcasted_iota(jnp.int32, (win_ref.shape[2], SEG), 0)
-    jj2 = jax.lax.broadcasted_iota(jnp.int32, (win_ref.shape[2], SEG), 1)
-    Csel = (ii2 == dx + (jj2 + ph_x) // u).astype(jnp.float32)
+    L = XG * Ts
 
-    acc = [jnp.zeros((Ts, Ts), jnp.float32) for _ in range(c)]
-    w_acc = jnp.zeros((Ts, Ts), jnp.float32)
-    Y = _dot_sel(win_ref[:].reshape(c * ROWS, win_ref.shape[2]), Csel)
-    Us = [_sel_dot(Rsel, Y[ch * ROWS:(ch + 1) * ROWS]) for ch in range(c)]
+    Syp, Sxp, phy, phx, Sy1, Sx1, okl, fxl, fyl = ([] for _ in range(9))
+    for t in range(XG):
+        p0 = (jg_ * XG + t) * 8
+        Syp.append(params_ref[0, 0, p0 + 0])
+        Sxp.append(params_ref[0, 0, p0 + 1])
+        phy.append(params_ref[0, 0, p0 + 2])
+        phx.append(params_ref[0, 0, p0 + 3])
+        Sy1.append(params_ref[0, 0, p0 + 4])
+        Sx1.append(params_ref[0, 0, p0 + 5])
+        okl.append(params_ref[0, 0, p0 + 6])
+        fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
+        fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
+    mny = mxy = Syp[0]
+    mnx = mxx = Sxp[0]
+    for t in range(1, XG):
+        mny = jnp.minimum(mny, Syp[t])
+        mxy = jnp.maximum(mxy, Syp[t])
+        mnx = jnp.minimum(mnx, Sxp[t])
+        mxx = jnp.maximum(mxx, Sxp[t])
+    gby = (jnp.clip(mny, 0, hps - GR) // 8) * 8
+    gbx = (jnp.clip(mnx, 0, wps - GCOLS) // 128) * 128
+    fit = ((mxy - gby) <= GR - WIN) & ((mxx - gbx) <= GCOLS - WIN)
+
+    gdma = pltpu.make_async_copy(
+        stats_ref.at[:, pl.ds(gby, GR), pl.ds(gbx, GCOLS)], gwin_ref, gsem)
+    gdma.start()
+    gdma.wait()
+
+    @pl.when(fit)
+    def _():
+        lv = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
+        dxv = jnp.zeros((1, XG * SEG), jnp.int32)
+        phv = jnp.zeros((1, XG * SEG), jnp.int32)
+        for t in range(XG):
+            m = (lv == t).astype(jnp.int32)
+            dxv = dxv + (Sxp[t] - gbx) * m
+            phv = phv + phx[t] * m
+        ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
+        Cw = (ci == dxv + ((cj % SEG) + phv) // u).astype(jnp.float32)
+        Y = _dot_sel(gwin_ref[:].reshape(c * GR, GCOLS), Cw)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 1)
+        for t in range(XG):
+            Rsel = (rj == (Syp[t] - gby) +
+                    (ri + phy[t]) // u).astype(jnp.float32)
+            for ch in range(c):
+                u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
+                    Rsel, Y[ch * GR:(ch + 1) * GR, t * SEG:(t + 1) * SEG])
+
+    @pl.when(jnp.logical_not(fit))
+    def _():
+        rys = [(Syp[t] // 8) * 8 for t in range(XG)]
+        rxs = [(Sxp[t] // 128) * 128 for t in range(XG)]
+
+        def start(t):
+            pltpu.make_async_copy(
+                stats_ref.at[:, pl.ds(rys[t], ROWS),
+                             pl.ds(rxs[t], win_ref.shape[2])],
+                win_ref, sem).start()
+
+        for t in range(XG):
+            start(t)
+            pltpu.make_async_copy(
+                stats_ref.at[:, pl.ds(rys[t], ROWS),
+                             pl.ds(rxs[t], win_ref.shape[2])],
+                win_ref, sem).wait()
+            ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)
+            Rsel = (jj == (Syp[t] - rys[t]) +
+                    (ii + phy[t]) // u).astype(jnp.float32)
+            ii2 = jax.lax.broadcasted_iota(
+                jnp.int32, (win_ref.shape[2], SEG), 0)
+            jj2 = jax.lax.broadcasted_iota(
+                jnp.int32, (win_ref.shape[2], SEG), 1)
+            Csel = (ii2 == (Sxp[t] - rxs[t]) +
+                    (jj2 + phx[t]) // u).astype(jnp.float32)
+            Y = _dot_sel(win_ref[:].reshape(c * ROWS, win_ref.shape[2]), Csel)
+            for ch in range(c):
+                u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
+                    Rsel, Y[ch * ROWS:(ch + 1) * ROWS])
+
+    # ---- shared slab phase: Dodgson 3x3 stencil on (Ts, XG*Ts)
+    r_loc = jax.lax.broadcasted_iota(jnp.int32, (Ts, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    lb = lane // Ts
+    c_mod = lane % Ts
+
+    def lanei(vals):
+        out = jnp.zeros((1, L), jnp.int32)
+        for t in range(XG):
+            out = out + vals[t] * (lb == t).astype(jnp.int32)
+        return out
+
+    def lanef(vals):
+        out = jnp.zeros((1, L), jnp.float32)
+        for t in range(XG):
+            out = out + vals[t] * (lb == t).astype(jnp.float32)
+        return out
+
+    Sy1v = lanei(Sy1)
+    Sx1v = lanei(Sx1)
+    phyv = lanei(phy)
+    phxv = lanei(phx)
+    okv = lanei(okl)
+    fxv = lanef(fxl)
+    fyv = lanef(fyl)
+
+    Yg = (i * Ts + r_loc).astype(jnp.float32)           # (Ts, 1)
+    Xg = (jg_ * L + lane).astype(jnp.float32)           # (1, L)
+    lr_y = (Yg + fyv + half) / u - half                 # (Ts, L)
+    lr_x = (Xg + fxv + half) / u - half
+    valid = (((lr_y >= 0) & (lr_y < lh)) &
+             ((lr_x >= 0) & (lr_x < lw)) & (okv > 0))
+
+    center_y = Sy1v + (r_loc + phyv) // u               # (Ts, L) global
+    center_x = Sx1v + (c_mod + phxv) // u               # (1, L)
+
+    Uv = u_slab[:]
+
+    def tap(ch, di, dj):
+        return jnp.concatenate(
+            [Uv[ch, u * (di + 1):u * (di + 1) + Ts,
+                t * SEG + u * (dj + 1):t * SEG + u * (dj + 1) + Ts]
+             for t in range(XG)], axis=-1)
+
+    acc = [jnp.zeros((Ts, L), jnp.float32) for _ in range(c)]
+    w_acc = jnp.zeros((Ts, L), jnp.float32)
     for di in (-1, 0, 1):
         yc = jnp.clip(center_y + di, 0, lh - 1).astype(jnp.float32)
-        wy = _dogson(yc - lr_y)                          # (Ts, 1)
+        wy = _dogson(yc - lr_y)                          # (Ts, L)
         for dj in (-1, 0, 1):
             xc = jnp.clip(center_x + dj, 0, lw - 1).astype(jnp.float32)
-            wgt = wy * _dogson(xc - lr_x)                # (Ts, Ts)
+            wgt = wy * _dogson(xc - lr_x)                # (Ts, L)
             for ch in range(c):
-                v = Us[ch][u * (di + 1):u * (di + 1) + Ts,
-                           u * (dj + 1):u * (dj + 1) + Ts]
-                acc[ch] = acc[ch] + v * wgt
+                acc[ch] = acc[ch] + tap(ch, di, dj) * wgt
             w_acc = w_acc + wgt
 
     inv = 1.0 / w_acc
     for ch in range(c):
-        hr_ref[ch, :, t * Ts:(t + 1) * Ts] = acc[ch] * inv
-    valid_ref[:, t * Ts:(t + 1) * Ts] = valid.astype(jnp.float32)
+        hr_ref[ch] = acc[ch] * inv
+    valid_ref[:] = valid.astype(jnp.float32)
