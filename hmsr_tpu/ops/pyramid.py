@@ -9,16 +9,16 @@ Parity notes vs the reference (utils_image.py:360-391, alignment.py:74-82):
 - ``factor == 1`` bypasses filtering entirely;
 - pyramid list is returned coarse -> fine like the reference's reversed list.
 
-The convolution runs as an XLA ``conv_general_dilated`` with the subsampling
-folded into the window strides (the reference filters everything then drops
-rows; here the strided conv never computes them).
+The filter runs as per-tap strided slices + weighted sums (a fused VPU
+expression), NOT as an XLA convolution: on TPU a ``lax.conv`` whose output
+(transitively) feeds a Pallas custom call triggers a pathological layout
+interaction that costs ~100 ms per instance at 12MP (measured; the slice
+form is also simply fast — the taps are tiny).
 """
 
 import numpy as np
 import jax.lax as lax
 import jax.numpy as jnp
-
-from ..utils.types import DEFAULT_FLOAT
 
 
 def gaussian_kernel1d(sigma, radius):
@@ -29,38 +29,31 @@ def gaussian_kernel1d(sigma, radius):
     return phi.astype(np.float32)
 
 
-def _conv_valid_1d(img, taps, axis, stride=1):
-    """Valid correlation of a (H, W) image with 1-D taps along ``axis``."""
-    k = len(taps)
-    if axis == 0:
-        kernel = jnp.asarray(taps).reshape(1, 1, k, 1)
-        strides = (stride, 1)
-    else:
-        kernel = jnp.asarray(taps).reshape(1, 1, 1, k)
-        strides = (1, stride)
-    out = lax.conv_general_dilated(
-        img[None, None].astype(DEFAULT_FLOAT), kernel.astype(DEFAULT_FLOAT),
-        window_strides=strides, padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return out[0, 0]
-
-
 def downsample(img, factor):
-    """Gaussian blur (sigma = 0.5 * factor) + decimation by ``factor``."""
+    """Gaussian blur (sigma = 0.5 * factor) + decimation by ``factor``.
+
+    Valid correlation followed by ``[::factor]`` subsampling, evaluated as
+    per-tap strided slices so only the kept samples are ever computed.
+    """
     if factor == 1:
         return img
     radius = int(4 * factor * 0.5 + 0.5)
     taps = gaussian_kernel1d(sigma=factor * 0.5, radius=radius)
+    k = len(taps)
 
     h, w = img.shape
     fh, fw = h - 2 * radius, w - 2 * radius
     h2, w2 = fh // factor, fw // factor
 
-    out = _conv_valid_1d(img, taps, axis=0, stride=factor)
-    out = _conv_valid_1d(out, taps, axis=1, stride=factor)
-    # The strided conv may produce one extra sample vs the reference's
-    # filter-then-slice [:h2*factor:factor]; crop to the reference shape.
-    return out[:h2, :w2]
+    out = None
+    for t in range(k):
+        v = lax.slice(img, (t, 0), (t + (h2 - 1) * factor + 1, w), (factor, 1))
+        out = taps[t] * v if out is None else out + taps[t] * v
+    out2 = None
+    for t in range(k):
+        v = lax.slice(out, (0, t), (h2, t + (w2 - 1) * factor + 1), (1, factor))
+        out2 = taps[t] * v if out2 is None else out2 + taps[t] * v
+    return out2
 
 
 def build_gaussian_pyramid(image, factors):
