@@ -123,9 +123,17 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     h, w = ref_img.shape
     out_h, out_w = round(scale * h), round(scale * w)
     n_ch = 3 if bayer else 1
-    # channel-first accumulators: TPU tiling pads minor-most dims to (8, 128)
-    num = jnp.zeros((n_ch, out_h, out_w), DEFAULT_FLOAT)
-    den = jnp.zeros((n_ch, out_h, out_w), DEFAULT_FLOAT)
+    # channel-first accumulators: TPU tiling pads minor-most dims to (8, 128).
+    # With the Pallas merge the carry lives at the kernel's padded geometry so
+    # every frame accumulates IN PLACE (input/output aliasing); cropped once
+    # before the reference merge.
+    merge_fn = select_merge(config)
+    accum_shape = (n_ch, out_h, out_w)
+    if getattr(merge_fn, "__name__", "") == "merge_pallas":
+        from ..ops.pallas_merge import padded_accum_shape
+        accum_shape = padded_accum_shape(config, (h, w), n_ch)
+    num = jnp.zeros(accum_shape, DEFAULT_FLOAT)
+    den = jnp.zeros(accum_shape, DEFAULT_FLOAT)
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
     noise_curves = (std_curve, diff_curve)
@@ -166,8 +174,6 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
             debug["flow"] = flows
             debug["robustness"] = rmaps
     else:
-        merge_fn = select_merge(config)
-
         def step(carry, frame):
             num, den, acc_r = carry
             grey = fft_lowpass_grey(frame) if bayer else frame
@@ -183,6 +189,8 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
             return (num, den, acc_r), ys
 
         (num, den, acc_r), ys = jax.lax.scan(step, (num, den, acc_r), comp_imgs)
+        num = num[:, :out_h, :out_w]
+        den = den[:, :out_h, :out_w]
 
         # ---- reference frame accumulation
         ref_covs = estimate_kernels(ref_img, config)

@@ -34,13 +34,24 @@ def _lowpass_mask(h, w):
 
 
 def fft_lowpass_grey(img):
-    """Low-pass grey image via spectral masking (Alg. 3)."""
+    """Low-pass grey image via spectral masking (Alg. 3).
+
+    Evaluated with a real-to-complex rfft2 (half the FFT work of the
+    reference's complex path): for a real input, taking the real part of
+    ``ifft2(M * fft2(x))`` equals ``irfft2(Msym * rfft2(x))`` with the
+    Hermitian-symmetrized mask ``Msym = (M(k) + M(-k)) / 2`` — M is 0/1 and
+    only asymmetric on the band edge rows/cols for non-multiple-of-4 sizes,
+    where Msym takes the value 1/2.
+    """
     h, w = img.shape
-    mask = jnp.asarray(_lowpass_mask(h, w))
-    spec = jnp.fft.fftshift(jnp.fft.fft2(img.astype(DEFAULT_FLOAT)))
-    spec = spec * mask
-    out = jnp.fft.ifft2(jnp.fft.ifftshift(spec))
-    return jnp.real(out).astype(DEFAULT_FLOAT)
+    mask = _lowpass_mask(h, w)
+    # unshifted, Hermitian-symmetrized mask, cropped to the rfft half-plane
+    m_u = np.fft.ifftshift(mask)
+    m_sym = 0.5 * (m_u + m_u[np.ix_((-np.arange(h)) % h, (-np.arange(w)) % w)])
+    m_half = jnp.asarray(m_sym[:, : w // 2 + 1].astype(np.float32))
+    spec = jnp.fft.rfft2(img.astype(DEFAULT_FLOAT))
+    out = jnp.fft.irfft2(spec * m_half, s=(h, w))
+    return out.astype(DEFAULT_FLOAT)
 
 
 def decimate_to_grey(img):

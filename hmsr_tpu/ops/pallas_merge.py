@@ -76,9 +76,35 @@ def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
     return params
 
 
+def padded_accum_shape(config, in_shape, n_ch=None):
+    """Accumulator geometry that lets :func:`merge_pallas` accumulate
+    IN-PLACE (input/output aliasing): (n_ch, nty*B, NTXP*B) covering the
+    (out_h, out_w) = scale * in_shape image. Carry num/den at this shape
+    through the burst scan and crop once at the end."""
+    s = int(config.scale)
+    Ts = int(config.block_matching.tuning.tile_size)
+    bayer = config.mode == "bayer"
+    if n_ch is None:
+        n_ch = 3 if bayer else 1
+    H, W = in_shape
+    out_h, out_w = s * H, s * W
+    B = Ts * s
+    nty = -(-out_h // B)
+    ntx = -(-out_w // B)
+    XG = max(1, 128 // int(np.gcd(Ts, 128)))
+    NTXP = -(-ntx // XG) * XG
+    return (n_ch, nty * B, NTXP * B)
+
+
 def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                  interpret=False):
-    """Pallas drop-in for ``merge_tiled`` (bayer/grey, steerable/iso)."""
+    """Pallas drop-in for ``merge_tiled`` (bayer/grey, steerable/iso).
+
+    When ``num``/``den`` arrive at :func:`padded_accum_shape` geometry the
+    kernel accumulates into them in place (input/output aliasing — no val/acc
+    materialization, no XLA add, ~2.3 GB less HBM traffic per frame at 48MP);
+    otherwise it materializes the frame contribution and adds (legacy path).
+    """
     s = int(config.scale)
     assert s == config.scale and s >= 1
     bayer = config.mode == "bayer"
@@ -89,7 +115,8 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     cfa = np.asarray(cfa_pattern, dtype=np.int32)
 
     H, W = comp_img.shape
-    n_ch, out_h, out_w = num.shape
+    n_ch = num.shape[0]
+    out_h, out_w = s * H, s * W          # true (unpadded) output extent
     B = Ts * s
     nty = -(-out_h // B)
     ntx = -(-out_w // B)
@@ -144,12 +171,16 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     rrx = jnp.asarray(np.kron(np.eye(XG * Ts, dtype=np.float32),
                               np.ones((1, s), np.float32)))
 
+    in_place = num.shape == (n_ch, nty * B, NTXP * B)
+
     kernel = functools.partial(
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa,
         hpc=comp_pad.shape[0], wpc=comp_pad.shape[1],
-        hpk=cov_pad.shape[1], wpk=cov_pad.shape[2])
+        hpk=cov_pad.shape[1], wpk=cov_pad.shape[2], in_place=in_place)
 
+    acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(nty, NTXP // XG),
         in_specs=[
@@ -164,13 +195,8 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                          memory_space=pltpu.VMEM),   # r tile group
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rry
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rrx
-        ],
-        out_specs=[
-            pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([acc_spec, acc_spec] if in_place else []),
+        out_specs=[acc_spec, acc_spec],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),   # tile fallback
             pltpu.VMEM((2, 3, ROWS_K, _DMA_COLS), jnp.float32),
@@ -185,14 +211,20 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         ],
     )
 
+    operands = [params_flat, flow_f, comp_pad, cov_pad, r_pad, rry, rrx]
+    if in_place:
+        operands += [num, den]
     val, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32),
                    jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32)),
+        input_output_aliases={7: 0, 8: 1} if in_place else {},
         interpret=interpret,
-    )(params_flat, flow_f, comp_pad, cov_pad, r_pad, rry, rrx)
+    )(*operands)
 
+    if in_place:
+        return val, acc
     return (num + val[:, :out_h, :out_w], den + acc[:, :out_h, :out_w])
 
 
@@ -235,11 +267,9 @@ def _dot_sel(x, sel):
 
 
 def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
-                        rry, rrx, val_ref, acc_ref,
-                        comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
-                        sem_c, sem_k, gsem_c, gsem_k,
-                        *, s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
-                        n_ch, cfa, hpc, wpc, hpk, wpk):
+                        rry, rrx, *refs,
+                        s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
+                        n_ch, cfa, hpc, wpc, hpk, wpk, in_place):
     """One output row-group of XG tiles.
 
     Window fetches use ONE speculative group DMA per program for the
@@ -250,6 +280,15 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     remaining math (guide-grid bilinear covariance interpolation, 2x2
     inversion, 3x3 kernel-regression taps) runs on (B, XG*B) slabs.
     """
+    if in_place:
+        (num_ref, den_ref, val_ref, acc_ref,
+         comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
+         sem_c, sem_k, gsem_c, gsem_k) = refs
+    else:
+        num_ref = den_ref = None
+        (val_ref, acc_ref,
+         comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
+         sem_c, sem_k, gsem_c, gsem_k) = refs
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
     half = jnp.float32(0.5)
@@ -509,5 +548,9 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                 accs[0] = accs[0] + w
 
     for k in range(n_ch):
-        val_ref[k] = vals[k]
-        acc_ref[k] = accs[k]
+        if in_place:
+            val_ref[k] = num_ref[k] + vals[k]
+            acc_ref[k] = den_ref[k] + accs[k]
+        else:
+            val_ref[k] = vals[k]
+            acc_ref[k] = accs[k]

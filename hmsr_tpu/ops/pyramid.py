@@ -44,6 +44,10 @@ def downsample(img, factor):
     h, w = img.shape
     fh, fw = h - 2 * radius, w - 2 * radius
     h2, w2 = fh // factor, fw // factor
+    if h2 <= 0 or w2 <= 0:
+        # level smaller than the filter support -> empty level (the
+        # reference's filter-then-slice degenerates the same way)
+        return jnp.zeros((max(h2, 0), max(w2, 0)), img.dtype)
 
     out = None
     for t in range(k):

@@ -65,3 +65,34 @@ def test_large_flow(seed=11):
     gn, gd, wn, wd = run_both(2, 16, True, False, seed, flow_scale=300.0)
     np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+def test_in_place_accumulation(seed=13):
+    """Padded-geometry num/den -> input/output-aliased in-kernel accumulate."""
+    from hmsr_tpu.ops.pallas_merge import padded_accum_shape
+    rng = np.random.RandomState(seed)
+    h, w, ts, scale = 64, 128, 16, 2
+    c = make_config(scale, ts, True, False)
+    comp = rng.rand(h, w).astype(np.float32)
+    ny, nx = -(-h // ts), -(-w // ts)
+    flow = (rng.rand(ny, nx, 2) * 2 - 1).astype(np.float32) * 5.0
+    r = rng.rand(h, w).astype(np.float32)
+    gg = rng.rand(h // 2, w // 2, 2).astype(np.float32) + 0.3
+    cov_c = np.stack([gg[..., 0], 0.2 * np.sqrt(gg[..., 0] * gg[..., 1]),
+                      gg[..., 1]]).astype(np.float32)
+
+    pad_shape = padded_accum_shape(c, (h, w))
+    nump = jnp.asarray(rng.rand(*pad_shape).astype(np.float32))
+    denp = jnp.asarray(rng.rand(*pad_shape).astype(np.float32))
+    hh, hw = scale * h, scale * w
+
+    args = (jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(cov_c),
+            jnp.asarray(r))
+    want_n, want_d = merge_tiled(*args, nump[:, :hh, :hw], denp[:, :hh, :hw],
+                                 CFA, c)
+    got_n, got_d = merge_pallas(*args, nump, denp, CFA, c, interpret=True)
+    assert got_n.shape == pad_shape
+    np.testing.assert_allclose(np.asarray(got_n)[:, :hh, :hw], np.asarray(want_n),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_d)[:, :hh, :hw], np.asarray(want_d),
+                               atol=2e-4, rtol=1e-4)
