@@ -143,6 +143,10 @@ def align(ref_state, moving_grey, config):
     levels = _level_tile_sizes(config)
     n_lvls = len(levels)
 
+    # profiling knob (tools/bisect_pipeline.py): truncate the descent after
+    # k levels; the remaining levels return upscaled flow only.
+    max_lvls = int(config.get("tpu", {}).get("align_levels", n_lvls))
+
     flow = None
     for l in range(n_lvls):
         list_id = n_lvls - l - 1
@@ -155,17 +159,26 @@ def align(ref_state, moving_grey, config):
         else:
             flow = upscale_flow(flow, npatches, list_id, config)
 
+        if l >= max_lvls:
+            continue
+
         moving_lvl = moving_pyramid[l]
         prep = ref_state.ica_pallas[l] if ref_state.ica_pallas else None
         ica_fn, is_pallas = pick_ica(npatches[0] * npatches[1], prep)
 
-        # fused L1-matching + ICA kernel: the block-matching search reuses
-        # the ICA kernel's group-window DMA (saves a full image pass)
+        # fused block-matching + ICA kernels: the search reuses the ICA
+        # kernel's group-window DMA (saves a full image pass of gathers)
         if metric == "L1" and radius == 1 and is_pallas and prep is not None:
             from ..ops.pallas_ica import match_l1_refine_ica_pallas
             flow = match_l1_refine_ica_pallas(
                 ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter,
                 prep=prep)
+            continue
+        if metric == "L2" and is_pallas and prep is not None:
+            from ..ops.pallas_ica import match_l2_refine_ica_pallas
+            flow = match_l2_refine_ica_pallas(
+                ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter,
+                radius, prep=prep)
             continue
 
         if metric == "L2":

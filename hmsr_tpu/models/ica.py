@@ -119,7 +119,15 @@ def refine_ica(ref_lvl, ica_state, moving, flow, tile_size, n_iter):
         upd = fl + jnp.stack([dx, dy], axis=-1)
         return jnp.where(solvable[..., None], upd, fl)
 
-    return jax.lax.fori_loop(0, n_iter, body, flow.astype(DEFAULT_FLOAT))
+    # UNROLLED on purpose: with a lax.fori_loop THIS body miscompiles on
+    # the axon TPU backend (flows wrong on every tile vs the float64 scalar
+    # oracle, 6.2 max err; the unrolled form is exact to 3e-7 — verified on
+    # hardware, tools/verify_pallas.py). n_iter is a static config constant
+    # (default 3), so unrolling is also what XLA would prefer.
+    fl = flow.astype(DEFAULT_FLOAT)
+    for k in range(int(n_iter)):
+        fl = body(k, fl)
+    return fl
 
 
 def refine_ica_tiled(ref_lvl, ica_state, moving, flow, tile_size, n_iter):
@@ -186,4 +194,12 @@ def refine_ica_tiled(ref_lvl, ica_state, moving, flow, tile_size, n_iter):
         upd = fl + jnp.stack([dx, dy], axis=-1)
         return jnp.where(solvable[..., None], upd, fl)
 
-    return jax.lax.fori_loop(0, n_iter, body, flow.astype(DEFAULT_FLOAT))
+    # UNROLLED on purpose: with a lax.fori_loop THIS body miscompiles on
+    # the axon TPU backend (flows wrong on every tile vs the float64 scalar
+    # oracle, 6.2 max err; the unrolled form is exact to 3e-7 — verified on
+    # hardware, tools/verify_pallas.py). n_iter is a static config constant
+    # (default 3), so unrolling is also what XLA would prefer.
+    fl = flow.astype(DEFAULT_FLOAT)
+    for k in range(int(n_iter)):
+        fl = body(k, fl)
+    return fl

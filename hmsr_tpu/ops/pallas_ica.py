@@ -1,23 +1,31 @@
-"""Pallas kernel: ICA (inverse-compositional LK) sub-pixel flow refinement.
+"""Pallas kernels: block matching + ICA (inverse-compositional LK) refinement.
 
-Per alignment tile, ``n_iter`` Gauss-Newton steps; each step bilinearly warps
-the moving image at the current per-tile flow. The warp reads one contiguous
-(ts+1)^2 window at offset ``tile_origin + trunc(flow)`` — DMA'd from HBM at
-tile-aligned offsets and realigned with a 0/1 selection-matrix matmul
+Per alignment tile, block matching (L1 radius 1 / L2 radius r) followed by
+``n_iter`` Gauss-Newton steps; each step bilinearly warps the moving image at
+the current per-tile flow through one contiguous (ts+1)^2 window DMA'd from
+HBM at tile-aligned offsets and realigned with 0/1 selection-matrix matmuls
 (see pallas_merge.py for the Mosaic constraints that force this shape).
+
+Architecture note (hard-won on hardware): kernels follow the merge kernel's
+proven dataflow — per-tile scalars enter ONLY through SMEM *inputs*
+(precomputed in XLA from the flow), and reductions leave ONLY through vector
+outputs. An earlier single-kernel design updated the flow with in-kernel
+scalar reductions (VPU sum -> scalar -> next window address); that chain
+MISCOMPILES under the current Mosaic toolchain (wrong flows on every tile,
+compiled only — interpret mode exact; store-based workarounds shift but do
+not fix it). The per-iteration XLA glue (2x2 solve, trunc, window clipping)
+is a few ops on (ny, nx) arrays and fuses into the surrounding program.
 
 Zero-fill out-of-bounds semantics are preserved exactly: the moving image is
 zero-padded by ts+2 (so any partially-in-range window reads true zeros), and
-fully-out-of-range windows are zeroed by the per-iteration ok flag — matching
+fully-out-of-range windows are zeroed by the per-tile ok lane mask — matching
 ``refine_ica``'s taps (reference ICA.py:240-243 reads 0 out of bounds, and
-those zero taps DO contribute ``gradt = -ref``).
-
-Per-tile Hessian solve terms are precomputed on the XLA side and passed via
-SMEM rows; tiles with |det| < 1e-10 keep their input flow (reference
-ICA.py:124-126).
+those zero taps DO contribute ``gradt = -ref``). Tiles with |det| < 1e-10
+keep their input flow (reference ICA.py:124-126).
 """
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import numpy as np
@@ -35,6 +43,16 @@ _DMA_COLS = 256
 _GROWS = 48
 _GCOLS = 512
 
+# program width multiplier: XG = mult * (128 / gcd(ts, 128)) tiles per
+# program — bigger programs amortize per-program scalar/DMA overhead over
+# more tiles (A/B knob; lane width XG*ts stays a multiple of 128).
+_XG_MULT = max(1, int(_os.environ.get("HMSR_ICA_XG", "1")))
+
+
+def _xg(ts):
+    return _XG_MULT * max(1, 128 // int(np.gcd(int(ts), 128)))
+
+
 #: tile-count threshold above which ``align`` picks this kernel over the
 #: tiled XLA path (each distinct shape costs a Mosaic compile).
 PALLAS_ICA_MIN_TILES = 2000
@@ -45,7 +63,7 @@ def _dma_rows(win):
 
 
 class IcaPallasPrep(NamedTuple):
-    """Per-burst constants of the Pallas ICA kernel (precompute once in
+    """Per-burst constants of the Pallas ICA kernels (precompute once in
     ``init_alignment`` — recomputing them per frame costs ~50ms of pad/copy
     at 12MP that XLA cannot hoist out of the per-frame program)."""
     ref_c: jnp.ndarray      # (ny*ts, NTXP*ts) reference tiles, padded
@@ -58,7 +76,7 @@ def prep_ica_pallas(ref_lvl, ica_state, flow_shape, tile_size):
     """Precompute the flow-independent kernel operands."""
     ny, nx, _ = flow_shape
     ts = int(tile_size)
-    XG = max(1, 128 // int(np.gcd(ts, 128)))
+    XG = _xg(ts)
     NTXP = -(-nx // XG) * XG
 
     def tiles(a):
@@ -83,298 +101,490 @@ def prep_ica_pallas(ref_lvl, ica_state, flow_shape, tile_size):
                          hstatic=hstatic.astype(DEFAULT_FLOAT))
 
 
-def match_l1_refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
-                               n_iter, interpret=False, prep=None):
-    """Fused finest-level stage: L1 block matching (radius 1) + ICA.
-
-    Reference semantics (block_matching.py:126-154 of this repo's XLA path,
-    itself matching reference block_matching.py:105-345 with the intended
-    argmin): search windows at ``round(flow)``, zero-filled out of bounds,
-    first-minimum tie-break; the matched integer flow then seeds the ICA
-    Gauss-Newton loop — all inside one kernel, so the block-matching search
-    reuses the ICA group-window DMA machinery instead of a separate 12MP
-    pass.
-    """
-    return refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
-                             n_iter, interpret=interpret, prep=prep, bm=True)
-
-
-def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
-                      interpret=False, prep=None, bm=False):
-    """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
-    ny, nx, _ = flow.shape
-    ts = int(tile_size)
+def _pad_moving(moving, pad, rows, mode):
     h, w = moving.shape
-    WIN = ts + 1
-    PAD = ts + 2
-    ROWS = _dma_rows(WIN)
-
-    XG = max(1, 128 // int(np.gcd(ts, 128)))
-    NTXP = -(-nx // XG) * XG
-
-    mov_pad = jnp.pad(moving,
-                      ((PAD, PAD + (-(h + 2 * PAD)) % ROWS + ROWS),
-                       (PAD, PAD + (-(w + 2 * PAD)) % _DMA_COLS + _DMA_COLS)))
-
-    if prep is None:
-        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
-    ref_c, gx, gy = prep.ref_c, prep.gx, prep.gy
-
-    fpad = ((0, 0), (0, NTXP - nx), (0, 0)) if NTXP != nx else None
-    fl = flow.astype(DEFAULT_FLOAT)
-    fl = jnp.pad(fl, fpad) if fpad else fl
-    hparams = prep.hstatic.at[..., 5].set(fl[..., 0]).at[..., 6].set(fl[..., 1])
-    hparams = hparams.reshape(ny, 1, NTXP * 8)
-
-    SWIN = ts + 3                     # BM window (ts+2) + ICA shift reach
-    kernel = functools.partial(
-        _ica_kernel, ts=ts, XG=XG, WIN=WIN, ROWS=ROWS, PAD=PAD,
-        h=h, w=w, n_iter=int(n_iter), bm=bm, SWIN=SWIN,
-        hp=mov_pad.shape[0], wp=mov_pad.shape[1])
-
-    grid_spec = pl.GridSpec(
-        grid=(ny, NTXP // XG),
-        in_specs=[
-            pl.BlockSpec((1, 1, NTXP * 8), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),    # hessian/flow params
-            pl.BlockSpec(memory_space=pltpu.HBM),     # moving (padded)
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),    # ref tiles
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),    # gradx
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),    # grady
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 1, XG * 2), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),   # per-tile bufs
-            pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),        # group window
-            pltpu.VMEM((WIN, XG * WIN), jnp.float32),         # U slab
-            pltpu.VMEM((SWIN, XG * SWIN), jnp.float32),       # BM search slab
-            pltpu.SemaphoreType.DMA((XG,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((ny, NTXP // XG, 1, XG * 2),
-                                        jnp.float32),),
-        interpret=interpret,
-    )(hparams, mov_pad, ref_c, gx, gy)[0]
-
-    return out.reshape(ny, NTXP, 2)[:, :nx]
+    if mode == "zero":
+        return jnp.pad(moving,
+                       ((pad, pad + (-(h + 2 * pad)) % rows + rows),
+                        (pad, pad + (-(w + 2 * pad)) % _DMA_COLS + _DMA_COLS)))
+    out = jnp.pad(moving, pad, mode="edge")
+    return jnp.pad(out,
+                   ((0, (-(h + 2 * pad)) % rows + rows),
+                    (0, (-(w + 2 * pad)) % _DMA_COLS + _DMA_COLS)),
+                   mode="edge")
 
 
 # exact bf16x3 selection matmuls (shared with the merge kernel)
 from .pallas_merge import _dot_sel, _sel_dot  # noqa: E402
 
 
-def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
-                win_ref, gwin_ref, u_ref, ub_ref, sem, sem_g, *,
-                ts, XG, WIN, ROWS, PAD, h, w, n_iter, bm, SWIN, hp, wp):
-    """One GN iteration for all XG tiles of a program at a time.
+def _kernel_realign(src, gwin_ref, win_ref, u_dst, sem, sem_g,
+                    Sys, Sxs, VW, XG, ROWS, hps, wps):
+    """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows of
+    ``src`` at the SMEM-provided (Sys[t], Sxs[t]): speculative group-DMA
+    fast path + per-tile-DMA fallback (merge-kernel pattern)."""
+    min_y = max_y = Sys[0]
+    min_x = max_x = Sxs[0]
+    for t in range(1, XG):
+        min_y = jnp.minimum(min_y, Sys[t])
+        max_y = jnp.maximum(max_y, Sys[t])
+        min_x = jnp.minimum(min_x, Sxs[t])
+        max_x = jnp.maximum(max_x, Sxs[t])
+    # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
+    gby = (jnp.clip(min_y, 0, hps - _GROWS) // 8) * 8
+    gbx = (jnp.clip(min_x, 0, wps - _GCOLS) // 128) * 128
+    fit = (((max_y - gby) <= _GROWS - VW) &
+           ((max_x - gbx) <= _GCOLS - VW))
 
-    Fast path: the XG windows are x-adjacent and post-block-matching flow is
-    smooth, so ONE group DMA (``_GROWS x _GCOLS``) usually covers them all;
-    per-tile realignment then happens inside VMEM (one column-selection
-    matmul for the whole group + a tiny row-selection matmul per tile).
-    When the per-tile windows don't fit the group buffer (wild flow), an
-    exact per-tile-DMA fallback fills the same U slab. The bilinear taps /
-    Gauss-Newton updates read the slab with full-width VPU ops either way.
+    # speculative group fetch (wasted only on the rare non-fit path)
+    gdma = pltpu.make_async_copy(
+        src.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)], gwin_ref, sem_g)
+    gdma.start()
+    gdma.wait()
 
-    With ``bm=True`` an L1 block-matching prologue (radius 1, reference
-    zero-fill + first-min semantics) runs first on the same machinery.
-    """
-    i = pl.program_id(0)
+    SL = XG * VW
+
+    @pl.when(fit)
+    def _():
+        # column realignment of ALL tiles in one selection matmul
+        dxv = jnp.zeros((1, SL), jnp.int32)
+        dyl = []
+        lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
+        for t in range(XG):
+            dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
+            dyl.append(Sys[t] - gby)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
+        Call = (ci == dxv + (cj % VW)).astype(jnp.float32)
+        X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
+        for t in range(XG):
+            Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
+            u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
+                Rsel, X[:, t * VW:(t + 1) * VW])
+
+    @pl.when(jnp.logical_not(fit))
+    def _():
+        rys, rxs = [], []
+        for t in range(XG):
+            rys.append((Sys[t] // 8) * 8)
+            rxs.append((Sxs[t] // 128) * 128)
+            pltpu.make_async_copy(
+                src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                win_ref.at[t], sem.at[t]).start()
+        ii = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 1)
+        ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 0)
+        jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 1)
+        for t in range(XG):
+            pltpu.make_async_copy(
+                src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                win_ref.at[t], sem.at[t]).wait()
+            Rsel = (jj == (Sys[t] - rys[t]) + ii).astype(jnp.float32)
+            Csel = (ii2 == (Sxs[t] - rxs[t]) + jj2).astype(jnp.float32)
+            u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
+                Rsel, _dot_sel(win_ref[t], Csel))
+
+
+def _lane_broadcast(vals, lane_div, L, dtype=jnp.float32):
+    """Broadcast XG SMEM scalars across an (1, L) lane vector."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) // lane_div
+    out = jnp.zeros((1, L), dtype)
+    for t, v in enumerate(vals):
+        m = (lane == t).astype(dtype)
+        out = out + v * m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GN step kernel: realign + bilinear taps + per-tile (b0, b1) reductions.
+# ---------------------------------------------------------------------------
+
+def _ica_step_kernel(pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
+                     out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *,
+                     ts, XG, WIN, ROWS, hp, wp):
     jg_ = pl.program_id(1)
     SLAB = XG * WIN
+    L = XG * ts
 
-    # per-tile solve terms + flow state (scalar core)
-    det_inv, a11, a01, a10, a00, ax, ay = [], [], [], [], [], [], []
+    Sys, Sxs, oks, fxs, fys = [], [], [], [], []
     for t in range(XG):
-        p0 = (jg_ * XG + t) * 8
-        det_inv.append(hp_ref[0, 0, p0 + 0])
-        a11.append(hp_ref[0, 0, p0 + 1])
-        a01.append(hp_ref[0, 0, p0 + 2])
-        a10.append(hp_ref[0, 0, p0 + 3])
-        a00.append(hp_ref[0, 0, p0 + 4])
-        ax.append(hp_ref[0, 0, p0 + 5])
-        ay.append(hp_ref[0, 0, p0 + 6])
+        p0 = (jg_ * XG + t) * 4
+        Sys.append(pi_ref[0, 0, p0 + 0])
+        Sxs.append(pi_ref[0, 0, p0 + 1])
+        oks.append(pi_ref[0, 0, p0 + 2])
+        fxs.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 0])
+        fys.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
-    def realign(u_dst, Sys, Sxs, oks, VW):
-        """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows at
-        (Sys[t], Sxs[t]): group-DMA fast path + per-tile-DMA fallback."""
-        SL = XG * VW
-        min_y = max_y = Sys[0]
-        min_x = max_x = Sxs[0]
-        for t in range(1, XG):
-            min_y = jnp.minimum(min_y, Sys[t])
-            max_y = jnp.maximum(max_y, Sys[t])
-            min_x = jnp.minimum(min_x, Sxs[t])
-            max_x = jnp.maximum(max_x, Sxs[t])
-        # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
-        gby = (jnp.clip(min_y, 0, hp - _GROWS) // 8) * 8
-        gbx = (jnp.clip(min_x, 0, wp - _GCOLS) // 128) * 128
-        fit = (((max_y - gby) <= _GROWS - VW) &
-               ((max_x - gbx) <= _GCOLS - VW))
-
-        # speculative group fetch (wasted only on the rare non-fit path)
-        gdma = pltpu.make_async_copy(
-            mov_ref.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
-            gwin_ref, sem_g)
-        gdma.start()
-        gdma.wait()
-
-        @pl.when(fit)
-        def _():
-            # column realignment of ALL tiles in one selection matmul
-            dxv = jnp.zeros((1, SL), jnp.int32)
-            dyl = []
-            lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
-            for t in range(XG):
-                dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
-                dyl.append(Sys[t] - gby)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 0)
-            cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
-            Call = (ci == dxv + (cj % VW)).astype(jnp.float32)
-            X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
-            for t in range(XG):
-                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
-                U = _sel_dot(Rsel, X[:, t * VW:(t + 1) * VW])
-                u_dst[:, t * VW:(t + 1) * VW] = (
-                    U * oks[t] if oks is not None else U)
-
-        @pl.when(jnp.logical_not(fit))
-        def _():
-            rys, rxs = [], []
-            for t in range(XG):
-                rys.append((Sys[t] // 8) * 8)
-                rxs.append((Sxs[t] // 128) * 128)
-                pltpu.make_async_copy(
-                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
-                    win_ref.at[t], sem.at[t]).start()
-            ii = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 1)
-            ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 0)
-            jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 1)
-            for t in range(XG):
-                pltpu.make_async_copy(
-                    mov_ref.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
-                    win_ref.at[t], sem.at[t]).wait()
-                Rsel = (jj == (Sys[t] - rys[t]) + ii).astype(jnp.float32)
-                Csel = (ii2 == (Sxs[t] - rxs[t]) + jj2).astype(jnp.float32)
-                U = _sel_dot(Rsel, _dot_sel(win_ref[t], Csel))
-                u_dst[:, t * VW:(t + 1) * VW] = (
-                    U * oks[t] if oks is not None else U)
-
-    if bm:
-        # ---- L1 block-matching prologue (radius 1): search windows at
-        # round(flow)-1; zero-fill OOB comes from the ts+2 zero pad, which
-        # equals the reference search pad (ts+2r with r=1).
-        ix0s, iy0s, Wys, Wxs = [], [], [], []
-        for t in range(XG):
-            j = jg_ * XG + t
-            ix0 = jnp.round(ax[t])
-            iy0 = jnp.round(ay[t])
-            ix0s.append(ix0)
-            iy0s.append(iy0)
-            Tby = i * ts + iy0.astype(jnp.int32) - 1
-            Tbx = j * ts + ix0.astype(jnp.int32) - 1
-            Wys.append(jnp.clip(Tby, -PAD, h) + PAD)
-            Wxs.append(jnp.clip(Tbx, -PAD, w) + PAD)
-        realign(ub_ref, Wys, Wxs, None, SWIN)
-
-        bi = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, XG * ts), 0)
-        bj = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, XG * ts), 1)
-        bsrc = (bj // ts) * SWIN + (bj % ts)
-        best = [None] * XG
-        bdx = [None] * XG
-        bdy = [None] * XG
-        for sy in range(3):
-            base = ub_ref[sy:sy + ts]                     # (ts, XG*SWIN)
-            for sx in range(3):
-                tap = (bi == bsrc + sx).astype(jnp.float32)
-                D = jnp.abs(ref_ref[:] - _dot_sel(base, tap))
-                for t in range(XG):
-                    e = jnp.sum(D[:, t * ts:(t + 1) * ts])
-                    if sy == 0 and sx == 0:
-                        best[t] = e
-                        bdy[t] = jnp.float32(-1.0)
-                        bdx[t] = jnp.float32(-1.0)
-                    else:
-                        u = e < best[t]                   # first-min ties
-                        best[t] = jnp.where(u, e, best[t])
-                        bdy[t] = jnp.where(u, jnp.float32(sy - 1), bdy[t])
-                        bdx[t] = jnp.where(u, jnp.float32(sx - 1), bdx[t])
-        for t in range(XG):
-            ax[t] = ix0s[t] + bdx[t]
-            ay[t] = iy0s[t] + bdy[t]
+    _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
+                    Sys, Sxs, WIN, XG, ROWS, hp, wp)
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
-    ti = jax.lax.broadcasted_iota(jnp.int32, (SLAB, XG * ts), 0)
-    tj = jax.lax.broadcasted_iota(jnp.int32, (SLAB, XG * ts), 1)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (SLAB, L), 0)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (SLAB, L), 1)
     tsrc = (tj // ts) * WIN + (tj % ts)
     tap0 = (ti == tsrc).astype(jnp.float32)
     tap1 = (ti == tsrc + 1).astype(jnp.float32)
 
-    # per-tile lane masks for broadcasting scalars across the tap plane
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, XG * ts), 1) // ts
+    fxv = _lane_broadcast(fxs, ts, L)
+    fyv = _lane_broadcast(fys, ts, L)
+    okv = _lane_broadcast([o.astype(jnp.float32) for o in oks], ts, L)
 
-    for _ in range(n_iter):
-        # ---- scalar phase: per-tile window origins
-        frac_x, frac_y, oks, Sys, Sxs = [], [], [], [], []
-        for t in range(XG):
-            j = jg_ * XG + t
-            ix = jnp.trunc(ax[t])
-            iy = jnp.trunc(ay[t])
-            frac_x.append(ax[t] - ix)
-            frac_y.append(ay[t] - iy)
+    Uslab = u_ref[:]
+    m00 = _dot_sel(Uslab[:ts], tap0)
+    m01 = _dot_sel(Uslab[:ts], tap1)
+    m10 = _dot_sel(Uslab[1:WIN], tap0)
+    m11 = _dot_sel(Uslab[1:WIN], tap1)
+    top = m00 + (m01 - m00) * fxv
+    bot = m10 + (m11 - m10) * fxv
+    interp = (top + (bot - top) * fyv) * okv          # (ts, XG*ts)
 
-            # window start (padded coords); clamp + ok flag for far-OOB
-            Sy = i * ts + iy.astype(jnp.int32) + PAD
-            Sx = j * ts + ix.astype(jnp.int32) + PAD
-            Syc = jnp.clip(Sy, 0, hp - ROWS)
-            Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
-            oks.append(((Syc == Sy) & (Sxc == Sx)).astype(jnp.float32))
-            Sys.append(Syc)
-            Sxs.append(Sxc)
+    gradt = interp - ref_ref[:]
+    P0 = -gx_ref[:] * gradt
+    P1 = -gy_ref[:] * gradt
+    c0 = jnp.sum(P0, axis=0, keepdims=True)           # (1, L)
+    c1 = jnp.sum(P1, axis=0, keepdims=True)
+    si = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
+    Seg = ((si // ts) == sj).astype(jnp.float32)
+    bv = _dot_sel(jnp.concatenate([c0, c1], axis=0), Seg)     # (2, 128)
+    out_ref[:, :] = jnp.pad(bv, ((0, 6), (0, 0)))
 
-        realign(u_ref, Sys, Sxs, oks, WIN)
 
-        # ---- shared slab phase: bilinear taps + GN right-hand sides
-        fxv = jnp.zeros((1, XG * ts), jnp.float32)
-        fyv = jnp.zeros((1, XG * ts), jnp.float32)
-        for t in range(XG):
-            m = (lane == t).astype(jnp.float32)
-            fxv = fxv + frac_x[t] * m
-            fyv = fyv + frac_y[t] * m
+def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
+    """One Gauss-Newton right-hand side: returns (b0, b1) each (ny, NTXP).
 
-        Uslab = u_ref[:]
-        m00 = _dot_sel(Uslab[:ts], tap0)
-        m01 = _dot_sel(Uslab[:ts], tap1)
-        m10 = _dot_sel(Uslab[1:WIN], tap0)
-        m11 = _dot_sel(Uslab[1:WIN], tap1)
-        top = m00 + (m01 - m00) * fxv
-        bot = m10 + (m11 - m10) * fxv
-        interp = top + (bot - top) * fyv                  # (ts, XG*ts)
+    ``flow`` must already be padded to (ny, NTXP, 2)."""
+    ny, NTXP, _ = flow.shape
+    ts = int(tile_size)
+    XG = _xg(ts)
+    WIN = ts + 1
+    PAD = ts + 2
+    ROWS = _dma_rows(WIN)
 
-        gradt = interp - ref_ref[:]
-        P0 = -gx_ref[:] * gradt
-        P1 = -gy_ref[:] * gradt
-        for t in range(XG):
-            b0 = jnp.sum(P0[:, t * ts:(t + 1) * ts])
-            b1 = jnp.sum(P1[:, t * ts:(t + 1) * ts])
-            ax[t] = ax[t] + det_inv[t] * (a11[t] * b0 - a01[t] * b1)
-            ay[t] = ay[t] + det_inv[t] * (-a10[t] * b0 + a00[t] * b1)
+    ax = flow[..., 0]
+    ay = flow[..., 1]
+    ix = jnp.trunc(ax)
+    iy = jnp.trunc(ay)
+    ty = jnp.arange(ny, dtype=jnp.int32)[:, None]
+    tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :]
+    Sy = ty * ts + iy.astype(jnp.int32) + PAD
+    Sx = tx * ts + ix.astype(jnp.int32) + PAD
+    hp, wp = mov_pad.shape
+    Syc = jnp.clip(Sy, 0, hp - ROWS)
+    Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
+    ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.int32)
+    pi = jnp.stack([Syc, Sxc, ok, jnp.zeros_like(ok)], axis=-1)
+    pf = jnp.stack([ax - ix, ay - iy], axis=-1).astype(DEFAULT_FLOAT)
 
+    kernel = functools.partial(_ica_step_kernel, ts=ts, XG=XG, WIN=WIN,
+                               ROWS=ROWS, hp=hp, wp=wp)
+    grid_spec = pl.GridSpec(
+        grid=(ny, NTXP // XG),
+        in_specs=[
+            pl.BlockSpec((1, 1, NTXP * 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),
+            pltpu.VMEM((WIN, XG * WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((XG,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((ny * 8, (NTXP // XG) * 128),
+                                        jnp.float32),),
+        interpret=interpret,
+    )(pi.reshape(ny, 1, NTXP * 4), pf.reshape(ny, 1, NTXP * 2),
+      mov_pad, prep.ref_c, prep.gx, prep.gy)[0]
+
+    out = out.reshape(ny, 8, NTXP // XG, 128)
+    b0 = out[:, 0, :, :XG].reshape(ny, NTXP)
+    b1 = out[:, 1, :, :XG].reshape(ny, NTXP)
+    return b0, b1
+
+
+# ---------------------------------------------------------------------------
+# Block-matching kernel: realign search slab + vectorized candidate argmin.
+# ---------------------------------------------------------------------------
+
+def _bm_kernel(pi_ref, mov_ref, ref_ref, out_ref,
+               win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *,
+               ts, XG, SWIN, ROWS, hp, wp, metric, rbm):
+    jg_ = pl.program_id(1)
+    L = XG * ts
+    n_sh = 2 * rbm + 1
+    NC = n_sh * n_sh
+    NCP = eacc_ref.shape[0]
+
+    Wys, Wxs = [], []
     for t in range(XG):
-        out_ref[0, 0, 0, t * 2 + 0] = ax[t]
-        out_ref[0, 0, 0, t * 2 + 1] = ay[t]
+        p0 = (jg_ * XG + t) * 2
+        Wys.append(pi_ref[0, 0, p0 + 0])
+        Wxs.append(pi_ref[0, 0, p0 + 1])
+
+    _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
+                    Wys, Wxs, SWIN, XG, ROWS, hp, wp)
+
+    # zero the candidate-padding rows once (they enter the Seg matmul)
+    if NCP > NC:
+        eacc_ref[NC:NCP, :] = jnp.zeros((NCP - NC, eacc_ref.shape[1]),
+                                        jnp.float32)
+
+    if metric == "l1":
+        # the column-extraction tap depends only on sx: extract the n_sh
+        # full-height slabs once; the sy shift is then a free row slice.
+        # per-tile errors land in lane t (segment sums below).
+        bi = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, L), 0)
+        bj = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, L), 1)
+        bsrc = (bj // ts) * SWIN + (bj % ts)
+        cols = []
+        for sx in range(n_sh):
+            tap = (bi == bsrc + sx).astype(jnp.float32)
+            cols.append(_dot_sel(ub_ref[:], tap))     # (SWIN, L)
+        for sy in range(n_sh):
+            for sx in range(n_sh):
+                D = jnp.abs(ref_ref[:] - cols[sx][sy:sy + ts])
+                r0 = sy * n_sh + sx
+                eacc_ref[r0:r0 + 1, :L] = jnp.sum(D, axis=0, keepdims=True)
+        seg_w = ts
+    else:
+        # O(n_sh) MXU passes: e = sum(win^2) - 2 corr (argmin-equal to
+        # sum((ref - win)^2); the per-tile sum(ref^2) constant cancels).
+        # Per row-shift sy, ONE cross matmul G = ref^T @ win_rows gives all
+        # tiles' correlations for all sx as the diagonal band
+        # G[t*ts + x, t*SWIN + x + sx]; band extraction and the win^2
+        # window sums are cheap VPU mask reductions.
+        SQ = ub_ref[:] * ub_ref[:]                    # (SWIN, XG*SWIN)
+        pi2 = jax.lax.broadcasted_iota(jnp.int32, (L, XG * SWIN), 0)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (L, XG * SWIN), 1)
+        same_tile = (pi2 // ts) == (qi // SWIN)
+        doff = (qi % SWIN) - (pi2 % ts)               # == sx on the band
+        qmod = jax.lax.broadcasted_iota(
+            jnp.int32, (1, XG * SWIN), 1) % SWIN
+        for sy in range(n_sh):
+            G = jax.lax.dot_general(                  # (L, XG*SWIN)
+                ref_ref[:], ub_ref[sy:sy + ts],
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            colsum2 = jnp.sum(SQ[sy:sy + ts], axis=0, keepdims=True)
+            for sx in range(n_sh):
+                band = (same_tile & (doff == sx)).astype(jnp.float32)
+                drow = jnp.sum(G * band, axis=0, keepdims=True)
+                valid = ((qmod >= sx) &
+                         (qmod < sx + ts)).astype(jnp.float32)
+                r0 = sy * n_sh + sx
+                eacc_ref[r0:r0 + 1, :XG * SWIN] = \
+                    (colsum2 - 2.0 * drow) * valid
+        seg_w = SWIN
+
+    # vectorized per-tile segment sums + first-min argmin over candidates
+    SL = XG * seg_w
+    si = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 1)
+    Seg = ((si // seg_w) == sj).astype(jnp.float32)
+    E = _dot_sel(eacc_ref[:, :SL], Seg)               # (NCP, 128)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (NCP, 128), 0)
+    E = jnp.where(ci < NC, E, jnp.float32(np.inf))
+    best = jnp.min(E, axis=0, keepdims=True)          # (1, 128)
+    idx = jnp.min(jnp.where(E <= best, ci, NC), axis=0, keepdims=True)
+    dy = (idx // n_sh - rbm).astype(jnp.float32)
+    dx = (idx % n_sh - rbm).astype(jnp.float32)
+    out_ref[:, :] = jnp.pad(jnp.concatenate([dx, dy], axis=0),
+                            ((0, 6), (0, 0)))
+
+
+def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
+              interpret=False):
+    """Vectorized block-matching displacement: returns (dx, dy) (ny, NTXP).
+
+    ``mov_src = (padded_image, pad)`` must carry the metric's OOB semantics
+    (zero pad for L1, edge pad for L2). ``flow`` already (ny, NTXP, 2).
+    """
+    mov_pad, pad = mov_src
+    ny, NTXP, _ = flow.shape
+    ts = int(tile_size)
+    XG = _xg(ts)
+    rbm = int(radius)
+    SWIN = ts + 2 * rbm + 1
+    ROWS = _dma_rows(SWIN)
+    hp, wp = mov_pad.shape
+
+    iflow = jnp.round(flow)
+    ty = jnp.arange(ny, dtype=jnp.int32)[:, None]
+    tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :]
+    Wy = ty * ts + iflow[..., 1].astype(jnp.int32) - rbm
+    Wx = tx * ts + iflow[..., 0].astype(jnp.int32) - rbm
+    Wyc = jnp.clip(Wy, -pad, h) + pad
+    Wxc = jnp.clip(Wx, -pad, w) + pad
+    # keep DMA-legal (the clip above follows the reference's semantics; the
+    # pad geometry guarantees in-range, this is belt and braces)
+    Wyc = jnp.clip(Wyc, 0, hp - ROWS)
+    Wxc = jnp.clip(Wxc, 0, wp - _DMA_COLS)
+    pi = jnp.stack([Wyc, Wxc], axis=-1)
+
+    NC = (2 * rbm + 1) ** 2
+    NCP = -(-NC // 8) * 8
+
+    kernel = functools.partial(_bm_kernel, ts=ts, XG=XG, SWIN=SWIN,
+                               ROWS=ROWS, hp=hp, wp=wp, metric=metric,
+                               rbm=rbm)
+    grid_spec = pl.GridSpec(
+        grid=(ny, NTXP // XG),
+        in_specs=[
+            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
+            pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),
+            pltpu.VMEM((SWIN, XG * SWIN), jnp.float32),
+            pltpu.VMEM((NCP, max(XG * SWIN, 128)), jnp.float32),
+            pltpu.SemaphoreType.DMA((XG,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((ny * 8, (NTXP // XG) * 128),
+                                        jnp.float32),),
+        interpret=interpret,
+    )(pi.reshape(ny, 1, NTXP * 2), mov_pad, prep.ref_c)[0]
+
+    out = out.reshape(ny, 8, NTXP // XG, 128)
+    dx = out[:, 0, :, :XG].reshape(ny, NTXP)
+    dy = out[:, 1, :, :XG].reshape(ny, NTXP)
+    return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Public drop-ins (XLA orchestration of the kernels above).
+# ---------------------------------------------------------------------------
+
+def _pad_flow(flow, NTXP):
+    ny, nx, _ = flow.shape
+    fl = flow.astype(DEFAULT_FLOAT)
+    if NTXP != nx:
+        fl = jnp.pad(fl, ((0, 0), (0, NTXP - nx), (0, 0)))
+    return fl
+
+
+def _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret):
+    hs = prep.hstatic
+    det_inv, a11, a01 = hs[..., 0], hs[..., 1], hs[..., 2]
+    a10, a00 = hs[..., 3], hs[..., 4]
+    for _ in range(int(n_iter)):
+        b0, b1 = ica_step_pallas(prep, mov_pad, flow_p, ts,
+                                 interpret=interpret)
+        dx = det_inv * (a11 * b0 - a01 * b1)
+        dy = det_inv * (-a10 * b0 + a00 * b1)
+        flow_p = flow_p + jnp.stack([dx, dy], axis=-1)
+    return flow_p
+
+
+def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
+                      interpret=False, prep=None):
+    """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
+    ny, nx, _ = flow.shape
+    ts = int(tile_size)
+    XG = _xg(ts)
+    NTXP = -(-nx // XG) * XG
+    if prep is None:
+        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
+
+    mov_pad = _pad_moving(moving, ts + 2, _dma_rows(ts + 1), "zero")
+    flow_p = _pad_flow(flow, NTXP)
+    flow_p = _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret)
+    return flow_p[:, :nx]
+
+
+def match_l1_refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
+                               n_iter, interpret=False, prep=None):
+    """Fused finest-level stage: L1 block matching (radius 1) + ICA.
+
+    Reference semantics (this repo's XLA ``match_l1``, itself matching
+    reference block_matching.py:105-345 with the intended argmin): search
+    windows at ``round(flow)``, zero-filled out of bounds, first-minimum
+    tie-break; displacement REPLACES the flow as ``round(flow) + d``; the
+    matched integer flow then seeds the ICA Gauss-Newton steps.
+    """
+    ny, nx, _ = flow.shape
+    ts = int(tile_size)
+    h, w = moving.shape
+    XG = _xg(ts)
+    NTXP = -(-nx // XG) * XG
+    if prep is None:
+        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
+
+    SWIN = ts + 3
+    rows = max(_dma_rows(ts + 1), _dma_rows(SWIN))
+    PAD = ts + 2
+    mov_pad = _pad_moving(moving, PAD, rows, "zero")
+    flow_p = _pad_flow(flow, NTXP)
+
+    dx, dy = bm_pallas(prep, (mov_pad, PAD), flow_p, ts, 1, "l1", h, w,
+                       interpret=interpret)
+    flow_p = jnp.round(flow_p) + jnp.stack([dx, dy], axis=-1)
+
+    flow_p = _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret)
+    return flow_p[:, :nx]
+
+
+def match_l2_refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
+                               n_iter, radius, interpret=False, prep=None):
+    """Fused L2 block matching (radius r) + ICA.
+
+    Matches this repo's XLA ``match_l2`` exactly in intent: search windows
+    gathered at ``round(flow)`` with edge-CLAMP out-of-bounds semantics
+    (reference block_matching.py:348-378), error ``argmin(L2win - 2 corr)``,
+    displacement ADDED to the unrounded flow.
+    """
+    ny, nx, _ = flow.shape
+    ts = int(tile_size)
+    h, w = moving.shape
+    XG = _xg(ts)
+    NTXP = -(-nx // XG) * XG
+    if prep is None:
+        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
+
+    rbm = int(radius)
+    SWIN = ts + 2 * rbm + 1
+    PAD_E = ts + 2 * rbm
+    mov_edge = _pad_moving(moving, PAD_E, _dma_rows(SWIN), "edge")
+    mov_pad = _pad_moving(moving, ts + 2, _dma_rows(ts + 1), "zero")
+    flow_p = _pad_flow(flow, NTXP)
+
+    dx, dy = bm_pallas(prep, (mov_edge, PAD_E), flow_p, ts, rbm, "l2", h, w,
+                       interpret=interpret)
+    flow_p = flow_p + jnp.stack([dx, dy], axis=-1)
+
+    flow_p = _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret)
+    return flow_p[:, :nx]

@@ -252,3 +252,99 @@ class TestPallasICA:
             jnp.asarray(img), state, jnp.asarray(mov), flow0, ts, 3,
             interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("seed,radius", [(0, 4), (3, 2)])
+    def test_fused_l2_bm_ica_matches_separate(self, seed, radius):
+        """Fused L2-matching + ICA kernel vs match_l2 -> refine_ica_tiled.
+
+        argmin(sum((ref-win)^2)) == argmin(L2win - 2 corr) (the constant
+        sum(ref^2) per tile cancels); quantized images keep the candidate
+        errors well separated so fp ordering differences cannot flip it.
+        """
+        from hmsr_tpu.models.block_matching import match_l2
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.models.alignment import _unfold_tiles
+        from hmsr_tpu.ops.pallas_ica import match_l2_refine_ica_pallas
+        rng = np.random.RandomState(seed)
+        img = np.round(smooth_image(64, 96, seed=seed) * 256) / 256
+        mov = np.round(shifted(img, -2.4, 1.3) * 256) / 256
+        img = img.astype(np.float32)
+        mov = mov.astype(np.float32)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        flow0 = jnp.asarray((rng.rand(4, 6, 2) * 6 - 3).astype(np.float32))
+
+        ref_tiles = _unfold_tiles(jnp.asarray(img), ts)
+        bm = match_l2(ref_tiles, jnp.asarray(mov), flow0, ts, radius)
+        want = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                           jnp.asarray(mov), bm, ts, 3))
+        got = np.asarray(match_l2_refine_ica_pallas(
+            jnp.asarray(img), state, jnp.asarray(mov), flow0, ts, 3, radius,
+            interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_fused_l2_bm_edge_clamp(self):
+        """Windows pushed off the border must use edge-clamp semantics."""
+        from hmsr_tpu.models.block_matching import match_l2
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.models.alignment import _unfold_tiles
+        from hmsr_tpu.ops.pallas_ica import match_l2_refine_ica_pallas
+        rng = np.random.RandomState(11)
+        img = np.round(smooth_image(48, 64, seed=11) * 256) / 256
+        mov = np.round(shifted(img, 0.9, -1.6) * 256) / 256
+        img = img.astype(np.float32)
+        mov = mov.astype(np.float32)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        # large flows push several tiles' windows (partially) off the image
+        flow0 = jnp.asarray((rng.rand(3, 4, 2) * 80 - 40).astype(np.float32))
+
+        ref_tiles = _unfold_tiles(jnp.asarray(img), ts)
+        bm = match_l2(ref_tiles, jnp.asarray(mov), flow0, ts, 4)
+        want = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                           jnp.asarray(mov), bm, ts, 2))
+        got = np.asarray(match_l2_refine_ica_pallas(
+            jnp.asarray(img), state, jnp.asarray(mov), flow0, ts, 2, 4,
+            interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+class TestAlignOracle:
+    """Full pyramid-descent alignment vs the scalar float64 oracle."""
+
+    @pytest.mark.parametrize("metrics,radii", [
+        (("L1", "L2"), (1, 4)),
+        (("L2", "L2"), (2, 3)),
+    ])
+    def test_align_matches_scalar_oracle(self, metrics, radii):
+        from oracles import numpy_alignment as oracle
+        c = small_config(ts=16, factors=(1, 2), radii=radii, metrics=metrics)
+        c.ica.tuning.n_iter = 3
+        img = smooth_image(64, 96, seed=21).astype(np.float32)
+        mov = shifted(img, -1.7, 2.4)
+
+        state = init_alignment(jnp.asarray(img), c)
+        got = np.asarray(align(state, jnp.asarray(mov), c))
+        want = oracle.align(img.astype(np.float64), mov.astype(np.float64), c)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+class TestPallasICALargeTiles:
+    @pytest.mark.parametrize("ts", [32, 64])
+    def test_matches_tiled(self, ts):
+        """Ts=32/64 SNR-adaptive geometries (different XG/window layouts);
+        compiled twin in tools/verify_pallas.py."""
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.ops.pallas_ica import refine_ica_pallas
+        rng = np.random.RandomState(ts)
+        img = smooth_image(2 * ts, 4 * ts, seed=ts)
+        mov = shifted(img, 0.6, -1.1)
+        state = init_ica(jnp.asarray(img), ts)
+        flow0 = jnp.asarray((rng.rand(2, 4, 2) * 8 - 4).astype(np.float32))
+        want = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                           jnp.asarray(mov), flow0, ts, 3))
+        got = np.asarray(refine_ica_pallas(jnp.asarray(img), state,
+                                           jnp.asarray(mov), flow0, ts, 3,
+                                           interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
