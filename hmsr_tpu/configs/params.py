@@ -98,9 +98,14 @@ def sanitize_config(config, imshape):
     bm = config.block_matching.tuning
     Ts = bm.tile_size
 
-    # Checking that every pyramid level can hold at least one tile.
-    padded_y = Ts * int(np.ceil(imshape[0] / Ts))
-    padded_x = Ts * int(np.ceil(imshape[1] / Ts))
+    # Checking that every pyramid level can hold at least one tile. The
+    # alignment runs on the grey image, which is half-resolution when
+    # grey_method == "decimating" (bayer mode).
+    grey_shape = imshape
+    if config.mode == "bayer" and config.get("grey_method", "FFT") == "decimating":
+        grey_shape = (imshape[0] // 2, imshape[1] // 2)
+    padded_y = Ts * int(np.ceil(grey_shape[0] / Ts))
+    padded_x = Ts * int(np.ceil(grey_shape[1] / Ts))
     lvl_y, lvl_x = padded_y, padded_x
     for lvl, (factor, ts) in enumerate(zip(bm.factors, bm.tile_sizes)):
         lvl_y, lvl_x = np.floor(lvl_y / factor), np.floor(lvl_x / factor)

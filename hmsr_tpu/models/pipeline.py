@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grey import fft_lowpass_grey
+from ..ops.grey import compute_grey_image, fft_lowpass_grey
 from ..utils.types import DEFAULT_FLOAT
 from .alignment import align, init_alignment
 from .kernels import estimate_kernels
@@ -96,6 +96,30 @@ def merge_ref_banded(ref_img, covs, num, den, cfa_pattern, config,
     return nb, db
 
 
+def flow_to_raw_grid(flow, raw_shape, tile_size):
+    """Re-tile a decimating-grey flow onto the raw-image tile grid.
+
+    With ``grey_method="decimating"`` alignment runs on the half-resolution
+    grey image: its tiles of ``tile_size`` grey pixels cover ``2*tile_size``
+    raw pixels and its flow values are in grey-pixel units. Downstream
+    consumers (merge.py:104-105, robustness.py:91-92 of this repo, mirroring
+    reference merge.py:322-325 / robustness.py:375-384) index tiles and apply
+    flow on the RAW grid — the reference's own decimating path hands them the
+    half-resolution flow unconverted, which mis-scales the warp; we convert:
+    values x2 (grey px -> raw px) and each grey tile repeated 2x2 so raw tile
+    ``(i, j)`` reads grey tile ``(i // 2, j // 2)``. Edge-padded/cropped to
+    the raw tile count (documented deviation, README "Parity notes").
+    """
+    ny = -(-raw_shape[0] // tile_size)
+    nx = -(-raw_shape[1] // tile_size)
+    f = jnp.repeat(jnp.repeat(flow * 2.0, 2, axis=0), 2, axis=1)
+    pad_y = max(0, ny - f.shape[0])
+    pad_x = max(0, nx - f.shape[1])
+    if pad_y or pad_x:
+        f = jnp.pad(f, ((0, pad_y), (0, pad_x), (0, 0)), mode="edge")
+    return f[:ny, :nx]
+
+
 def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
                  cfa_pattern, white_balance):
     """Traceable pipeline body. All config/cfa/wb are trace-time constants.
@@ -114,8 +138,18 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     ref_img = ref_img.astype(DEFAULT_FLOAT)
     comp_imgs = comp_imgs.astype(DEFAULT_FLOAT)
 
+    grey_method = str(config.get("grey_method", "FFT"))
+    decimating = bayer and grey_method == "decimating"
+    ts_raw = int(config.block_matching.tuning.tile_size)
+
+    def to_grey(frame):
+        return compute_grey_image(frame, grey_method) if bayer else frame
+
+    def to_raw_flow(flow, raw_shape):
+        return flow_to_raw_grid(flow, raw_shape, ts_raw) if decimating else flow
+
     # ---- reference init (amortized across the whole burst)
-    ref_grey = fft_lowpass_grey(ref_img) if bayer else ref_img
+    ref_grey = to_grey(ref_img)
     align_state = init_alignment(ref_grey, config)
     ref_stats = init_robustness(ref_img, cfa_pattern, white_balance,
                                 (std_curve, diff_curve), config)
@@ -150,8 +184,8 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         # robustness and covariances. Phase B (fused merge): every frame
         # accumulated per HR tile in VMEM; num/den never round-trip HBM.
         def analyze(acc_r, frame):
-            grey = fft_lowpass_grey(frame) if bayer else frame
-            flow = align(align_state, grey, config)
+            grey = to_grey(frame)
+            flow = to_raw_flow(align(align_state, grey, config), frame.shape)
             r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
                                    white_balance, config)
             if acc_r is not None:
@@ -176,8 +210,8 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     else:
         def step(carry, frame):
             num, den, acc_r = carry
-            grey = fft_lowpass_grey(frame) if bayer else frame
-            flow = align(align_state, grey, config)
+            grey = to_grey(frame)
+            flow = to_raw_flow(align(align_state, grey, config), frame.shape)
             r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
                                    white_balance, config)
             if acc_r is not None:

@@ -191,3 +191,60 @@ class TestBaselineConfigs:
         std, diff = flat_curves()
         img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
         assert np.isfinite(np.nan_to_num(np.asarray(img))).all()
+
+
+class TestDecimatingGrey:
+    def test_flow_to_raw_grid(self):
+        from hmsr_tpu.models.pipeline import flow_to_raw_grid
+        flow = jnp.asarray(np.arange(2 * 3 * 2, dtype=np.float32).reshape(2, 3, 2))
+        # raw 70x100 with ts=16 -> 5x7 raw tiles from a 2x3 half-res grid
+        out = np.asarray(flow_to_raw_grid(flow, (70, 100), 16))
+        assert out.shape == (5, 7, 2)
+        # values doubled; raw tile (i, j) reads grey tile (i//2, j//2)
+        for i in range(5):
+            for j in range(7):
+                src = np.asarray(flow)[min(i // 2, 1), min(j // 2, 2)]
+                np.testing.assert_allclose(out[i, j], 2.0 * src)
+
+    def test_decimating_pipeline_e2e(self, burst):
+        """grey_method=decimating must produce comparable quality to FFT.
+
+        The reference dispatches the method (super_resolution.py:107,145 ->
+        utils_image.py:104-115) but hands the half-resolution flow to
+        merge/robustness unconverted; we re-tile it to the raw grid (see
+        pipeline.flow_to_raw_grid) so the warp is correctly scaled.
+        """
+        ref, comps, truth, _ = burst
+        c = small_config(scale=2)
+        c.grey_method = "decimating"
+        # half-res grey is 64x64: factors [1,2] with ts 16 still feasible
+        sanitize_config(c, (128, 128))
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        img, _ = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        img = np.nan_to_num(np.asarray(img))
+        crop = 24
+        got = img[crop:-crop, crop:-crop]
+        want = truth[crop:-crop, crop:-crop]
+        psnr = compute_psnr(np.clip(want, 0, 1), np.clip(got, 0, 1))
+        assert np.isfinite(psnr)
+        assert psnr > 29.0, f"decimating-grey PSNR too low: {psnr:.2f} dB"
+
+    def test_decimating_flow_matches_known_shift(self, burst):
+        """The re-tiled debug flow must be in RAW pixels on the raw tile grid
+        (values x2 of the half-res estimate) and recover the known shifts."""
+        ref, comps, _, shifts = burst
+        c = small_config(scale=2)
+        c.grey_method = "decimating"
+        c.debug = True
+        sanitize_config(c, (128, 128))
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        std, diff = flat_curves()
+        _, debug = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        flow = np.asarray(debug["flow"])          # (N-1, ny, nx, 2)
+        assert flow.shape[1:3] == (8, 8)          # raw 128/16 tiles
+        est = flow[:, 2:-2, 2:-2, :].mean(axis=(1, 2))
+        # half-res alignment is coarser than FFT-grey (the 64x64 grey has
+        # only 4x4 tiles): allow 1 raw px. A mis-scaled flow (the reference's
+        # unconverted handoff) would miss by ~2x the shift, i.e. up to ~4 px.
+        np.testing.assert_allclose(est, shifts[1:], atol=1.0)
