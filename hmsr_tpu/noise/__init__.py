@@ -1,3 +1,5 @@
-from .fast_monte_carlo import run_fast_MC, get_non_linearity_bound, monte_carlo_curves
+from .fast_monte_carlo import (run_fast_MC, get_non_linearity_bound,
+                               monte_carlo_curves, load_noise_curves, round_iso)
 
-__all__ = ["run_fast_MC", "get_non_linearity_bound", "monte_carlo_curves"]
+__all__ = ["run_fast_MC", "get_non_linearity_bound", "monte_carlo_curves",
+           "load_noise_curves", "round_iso"]

@@ -156,6 +156,28 @@ def load_noise_curves(iso, data_dir):
     return std, diff
 
 
+def fit_alpha_beta(std_curve):
+    """Recover an affine noise model from a std curve: ``std^2 = a*b + beta``.
+
+    Least squares over the mid-range brightness (clipping distorts the curve
+    ends — see ``test_clipping_reduces_std_at_edges``). Used when curves are
+    loaded from ISO-keyed files and no (alpha, beta) pair is otherwise known
+    (the GAT in kernels.py:64 needs one).
+    """
+    n = len(std_curve)
+    b = np.arange(n) / (n - 1)
+    mid = slice(n // 10, (9 * n) // 10)
+    # the curves store the MEAN 9-sample ddof=0 std, a biased estimator:
+    # E[s] = sigma * sqrt(2/9) * Gamma(4.5) / Gamma(4)  (~0.9137 sigma)
+    from scipy.special import gamma as _G
+    c9 = np.sqrt(2.0 / 9.0) * _G(4.5) / _G(4.0)
+    sigma2 = (np.asarray(std_curve[mid]) / c9) ** 2
+    A = np.stack([b[mid], np.ones_like(b[mid])], axis=-1)
+    coef, *_ = np.linalg.lstsq(A, sigma2, rcond=None)
+    alpha, beta = float(coef[0]), float(max(coef[1], 0.0))
+    return alpha, beta
+
+
 def monte_carlo_curves(alpha, beta, seed=0):
     """Brute-force MC over every brightness level (the reference's offline
     ``monte_carlo_simulation.py``), for generating noise_model_*.npy files."""

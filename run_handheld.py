@@ -49,8 +49,8 @@ def print_parameters(config):
     else:
         print("    Super-resolution mode.")
         if config.scale > 2:
-            print("    WARNING: Since the optics and the integration on the sensor limit the aliasing,")
-            print("             do not expect more details than that obtained at x2 (refer to the paper).")
+            print("    WARNING: sensor integration and lens blur bound the recoverable")
+            print("             aliasing; factors above x2 rarely add real detail (see paper).")
     print()
     if config.robustness.enabled:
         print("  Robustness:             enabled")

@@ -116,6 +116,36 @@ class TestProcessAPI:
         assert np.isfinite(np.nan_to_num(img)).all()
         assert "accumulated_robustness" in debug
 
+    def test_verbose_stage_trace(self, capsys):
+        """verbose>=3 prints the per-stage device trace (reference
+        super_resolution.py:72-81 semantics) without altering the output."""
+        ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=3,
+                                                alpha=ALPHA, beta=BETA, seed=7)
+        c = small_burst_config()
+        c.verbose = 3
+        img, _ = process_arrays(ref, comps, c, cfa=DEFAULT_CFA)
+        out = capsys.readouterr().out
+        assert "Stage trace" in out
+        assert "Alignment (BM + ICA)" in out
+        assert "Merge (one frame)" in out
+        assert "Device pipeline" in out
+        assert img.shape == (256, 256, 3)
+
+    def test_iso_keyed_noise_curves(self):
+        """Without alpha/beta or an EXIF profile, curves load from the
+        shipped ISO-keyed data/ files (the reference's intended path,
+        super_resolution.py:243-251) and (alpha, beta) are re-fit for GAT."""
+        ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=3,
+                                                alpha=ALPHA, beta=BETA, seed=9)
+        c = small_burst_config()
+        c.noise_model.alpha = None
+        c.noise_model.beta = None
+        img, _ = process_arrays(ref, comps, c, cfa=DEFAULT_CFA, iso=250)
+        assert img.shape == (256, 256, 3)
+        assert np.isfinite(np.nan_to_num(img)).all()
+        # round_iso(250) -> 200: fitted alpha must match the generator's law
+        assert abs(c.noise_model.alpha - 2 * 1.80710882e-4) < 5e-5
+
     def test_process_npz_path(self, tmp_path):
         ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=4,
                                                 alpha=ALPHA, beta=BETA, seed=4)

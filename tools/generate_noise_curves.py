@@ -12,6 +12,9 @@ Usage:
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -29,6 +32,8 @@ def main():
                     help="use the linearity-bound interpolation (run_fast_MC)")
     args = ap.parse_args()
 
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # don't queue behind TPU jobs
     from hmsr_tpu.noise import run_fast_MC, monte_carlo_curves
 
     os.makedirs(args.outdir, exist_ok=True)
