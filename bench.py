@@ -32,7 +32,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_burst(h, w, n_frames, alpha, beta, seed=0):
+def make_burst(h, w, n_frames, alpha, beta, seed=0, brightness=None):
+    """Synthetic raw burst with SUB-PIXEL handheld shifts (honest benchmark:
+    integer shifts let block matching recover exact flow with ICA fractions
+    ~0, putting every group-DMA fast path permanently on its best case).
+    Spectral (exact) sub-pixel shifts of a bandlimited scene + per-frame
+    affine noise. ``brightness`` scales the scene: ~0.5 -> SNR ~ 50 (Ts=16),
+    ~0.02 -> low light (Ts=32/64 paths)."""
     rng = np.random.RandomState(seed)
     base = rng.rand(h // 16 + 1, w // 16 + 1).astype(np.float32)
     img = np.kron(base, np.ones((16, 16), np.float32))[:h, :w]
@@ -41,19 +47,28 @@ def make_burst(h, w, n_frames, alpha, beta, seed=0):
         img = gaussian_filter(img, 4.0)
     except ImportError:
         pass
-    img = 0.1 + 0.8 * (img - img.min()) / (np.ptp(img) + 1e-9)
+    img = (img - img.min()) / (np.ptp(img) + 1e-9)
+    lo, hi = (0.1, 0.9) if brightness is None else \
+        (0.2 * brightness, 1.8 * brightness)
+    img = lo + (hi - lo) * img
+
+    fy = np.fft.fftfreq(h)[:, None].astype(np.float64)
+    fx = np.fft.fftfreq(w)[None, :].astype(np.float64)
+    spec = np.fft.fft2(img.astype(np.float64))
 
     frames = np.empty((n_frames, h, w), np.float32)
     for n in range(n_frames):
-        dy, dx = (0, 0) if n == 0 else rng.randint(-3, 4, 2)
-        shifted = np.roll(img, (dy, dx), axis=(0, 1))
+        dy, dx = (0.0, 0.0) if n == 0 else rng.uniform(-3, 3, 2)
+        phase = np.exp(-2j * np.pi * (fy * dy + fx * dx))
+        shifted = np.real(np.fft.ifft2(spec * phase)).astype(np.float32)
         noise = np.sqrt(np.maximum(alpha * shifted + beta, 0)) * \
             rng.randn(h, w).astype(np.float32)
         frames[n] = np.clip(shifted + noise, 0, 1)
     return frames
 
 
-def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3):
+def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
+               brightness=None, tag=""):
     import jax
     import jax.numpy as jnp
     from hmsr_tpu.configs import default_config, update_snr_config, sanitize_config
@@ -62,7 +77,7 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3):
     ALPHA, BETA = 1.8e-4, 3.0e-6
     CFA = np.array([[0, 1], [1, 2]])
 
-    frames = make_burst(h, w, n_frames, ALPHA, BETA)
+    frames = make_burst(h, w, n_frames, ALPHA, BETA, brightness=brightness)
     import os
     config = default_config()
     config.scale = 2
@@ -75,10 +90,11 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3):
     if os.environ.get("HMSR_MERGE_IMPL"):
         config.tpu.merge_impl = os.environ["HMSR_MERGE_IMPL"]
 
-    brightness = float(frames[0].mean())
-    snr = brightness / std_curve[int(round(1000 * brightness))]
+    mean_b = float(frames[0].mean())
+    snr = mean_b / std_curve[int(round(1000 * mean_b))]
     update_snr_config(config, snr)
     sanitize_config(config, frames[0].shape)
+    log(f"[{h}x{w}{tag}] SNR={snr:.1f} -> Ts={config.block_matching.tuning.tile_size}")
 
     pipe = make_pipeline(config, CFA, [1.0, 1.0, 1.0], jit=False)
 
@@ -95,10 +111,10 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3):
     std_d = jnp.asarray(std_curve.astype(np.float32))
     diff_d = jnp.asarray(diff_curve.astype(np.float32))
 
-    log(f"[{h}x{w} x{n_frames}] compiling ...")
+    log(f"[{h}x{w}{tag} x{n_frames}] compiling ...")
     t0 = time.perf_counter()
     v = float(np.asarray(fn(ref_d, comps_d, std_d, diff_d)))
-    log(f"[{h}x{w} x{n_frames}] compile+run {time.perf_counter()-t0:.1f}s "
+    log(f"[{h}x{w}{tag} x{n_frames}] compile+run {time.perf_counter()-t0:.1f}s "
         f"checksum={v:.3f}")
     assert np.isfinite(v)
 
@@ -109,7 +125,7 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3):
         t0 = time.perf_counter()
         v = float(np.asarray(fn(ref_d, comps_i, std_d, diff_d)))
         times.append(time.perf_counter() - t0)
-        log(f"[{h}x{w} x{n_frames}] run {i}: {times[-1]:.3f}s checksum={v:.3f}")
+        log(f"[{h}x{w}{tag} x{n_frames}] run {i}: {times[-1]:.3f}s checksum={v:.3f}")
     return min(times)
 
 
@@ -141,14 +157,29 @@ def main():
 
     (h, w), best = max(results.items(), key=lambda kv: kv[0][0] * kv[0][1])
     mpix = h * w / 1e6
+
+    # low-light variant (SNR-adaptive Ts=32/64 paths) at the largest
+    # successful size — reported alongside, never replacing the headline
+    dark = None
+    try:
+        # mean ~0.07 -> SNR ~18 -> Ts=32 (the low-light geometry; Ts=64 is
+        # covered compiled by tools/verify_pallas.py)
+        dark = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
+                          brightness=0.07, tag=" dark")
+    except Exception as e:
+        log(f"[{h}x{w} dark] FAILED: {type(e).__name__}: {e}")
+
     # scale the reference baseline to the measured pixel count
     baseline = BASELINE_S * mpix / BASELINE_MPIX
-    print(json.dumps({
+    out = {
         "metric": f"e2e_{N_FRAMES}x{mpix:g}MP_burst_x2SR_wallclock",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(baseline / best, 3),
-    }))
+    }
+    if dark is not None:
+        out["dark_value"] = round(dark, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -96,3 +96,13 @@ def test_in_place_accumulation(seed=13):
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_d)[:, :hh, :hw], np.asarray(want_d),
                                atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ts", [32, 64])
+def test_large_tile_sizes(ts):
+    """Low-light SNR-adaptive geometries (Ts=32/64) hit different XG/window
+    layouts in the kernel; compiled-on-TPU coverage lives in
+    tools/verify_pallas.py — this is the interpret-mode CI twin."""
+    gn, gd, wn, wd = run_both(2, ts, True, False, seed=ts, h=2 * ts, w=4 * ts)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)

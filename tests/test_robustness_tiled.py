@@ -91,3 +91,27 @@ def test_pallas_warp_huge_flow():
     got, valid = upscale_warp_pallas(stats, 2, 16, flow, (32, 32),
                                      interpret=True)
     assert not bool(np.asarray(valid).any())
+
+
+@pytest.mark.parametrize("Ts", [32, 64])
+def test_pallas_warp_large_tiles(Ts):
+    """Ts=32/64 (low-light SNR geometries); compiled twin in
+    tools/verify_pallas.py."""
+    rng = np.random.RandomState(Ts)
+    upscale = 2
+    lh, lw = Ts * 3 // 2, Ts * 2
+    H, W = lh * upscale, lw * upscale
+    stats = rng.rand(3, lh, lw).astype(np.float32)
+    ny, nx = -(-H // Ts), -(-W // Ts)
+    flow = ((rng.rand(ny, nx, 2) * 2 - 1) * 6).astype(np.float32)
+
+    want, wvalid = upscale_warp_stats_tiled(jnp.asarray(stats), upscale, Ts,
+                                            jnp.asarray(flow), (H, W),
+                                            band_tile_rows=1)
+    got, gvalid = upscale_warp_pallas(jnp.asarray(stats), upscale, Ts,
+                                      jnp.asarray(flow), (H, W),
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(gvalid), np.asarray(wvalid))
+    m = np.asarray(wvalid)
+    np.testing.assert_allclose(np.asarray(got)[:, m], np.asarray(want)[:, m],
+                               atol=1e-5)

@@ -7,8 +7,11 @@ Each invocation builds a reduced pipeline that runs stages up to <stage>
 inside the scan and fetches a small checksum (sum) as the honest readback.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -32,6 +35,7 @@ def main():
     WB = [1.0, 1.0, 1.0]
     ALPHA, BETA = 1.8e-4, 3.0e-6
 
+    import os
     config = default_config()
     config.scale = 2
     config.verbose = 0
@@ -39,6 +43,12 @@ def main():
     config.noise_model.beta = BETA
     config.accumulated_robustness_denoiser.enabled = False
     update_snr_config(config, 56.0)
+    if os.environ.get("HMSR_ALIGN_LEVELS"):
+        config.tpu.align_levels = int(os.environ["HMSR_ALIGN_LEVELS"])
+    if os.environ.get("HMSR_ICA_IMPL"):
+        config.tpu.ica_impl = os.environ["HMSR_ICA_IMPL"]
+    if os.environ.get("HMSR_ROBUSTNESS_IMPL"):
+        config.tpu.robustness_impl = os.environ["HMSR_ROBUSTNESS_IMPL"]
     sanitize_config(config, (H, W))
 
     rng = np.random.RandomState(0)
@@ -61,24 +71,30 @@ def main():
         den = jnp.zeros((3, out_h, out_w), DEFAULT_FLOAT)
 
         def step(carry, frame):
+            # every checksum accumulates ALL prior stages' sums so XLA cannot
+            # dead-code-eliminate the earlier stages out of the measurement
             num, den = carry
-            acc = jnp.float32(0)
+            acc = jnp.sum(frame[::97, ::101])
             if stage == "upload":
-                return (num, den), jnp.sum(frame[::97, ::101])
+                return (num, den), acc
             grey = fft_lowpass_grey(frame)
+            acc = acc + jnp.sum(grey[::97, ::101])
             if stage == "grey":
-                return (num, den), jnp.sum(grey[::97, ::101])
+                return (num, den), acc
             flow = align(astate, grey, config)
+            acc = acc + jnp.sum(flow)
             if stage == "align":
-                return (num, den), jnp.sum(flow)
+                return (num, den), acc
             r = compute_robustness(frame, rstats, flow, CFA, WB, config)
+            acc = acc + jnp.sum(r[::97, ::101])
             if stage == "rob":
-                return (num, den), jnp.sum(r[::97, ::101])
+                return (num, den), acc
             covs = estimate_kernels(frame, config)
+            acc = acc + jnp.sum(covs[:, ::97, ::101])
             if stage == "kern":
-                return (num, den), jnp.sum(covs[:, ::97, ::101])
+                return (num, den), acc
             num, den = merge_fn(frame, flow, covs, r, num, den, CFA, config)
-            return (num, den), jnp.sum(flow)
+            return (num, den), acc
 
         (num, den), ys = jax.lax.scan(step, (num, den), comps)
         if stage in ("merge", "all", "mergeref"):
@@ -89,16 +105,26 @@ def main():
         return jnp.sum(ys)
 
     fn = jax.jit(run)
+    ref_d = jnp.asarray(frames[0])
+    comps_d = jnp.asarray(frames[1:])
+    perturb = jax.jit(lambda x, e: x + e)
     t0 = time.time()
-    out = fn(jnp.asarray(frames[0]), jnp.asarray(frames[1:]))
+    out = fn(ref_d, comps_d)
     v = float(np.asarray(out))
     print(f"stage={stage} {H}x{W} N={N}: OK {time.time()-t0:.1f}s checksum={v:.4f}",
           flush=True)
-    # steady-state with fresh input
-    t0 = time.time()
-    out = fn(jnp.asarray(frames[0]), jnp.asarray(frames[1:]) + jnp.float32(1e-6))
-    v = float(np.asarray(out))
-    print(f"stage={stage} steady: {time.time()-t0:.2f}s", flush=True)
+    # steady-state: inputs pre-resident + perturbed on device (the backend
+    # memoizes identical executions); reuse of fn's donated... keep simple
+    ts_ = []
+    for i in range(3):
+        c2 = perturb(comps_d, jnp.float32(1e-7 * (i + 1)))
+        _ = float(np.asarray(jnp.sum(c2[0].ravel()[:3])))
+        t0 = time.time()
+        out = fn(ref_d, c2)
+        v = float(np.asarray(out))
+        ts_.append(time.time() - t0)
+    print(f"stage={stage} steady: {min(ts_):.3f}s "
+          f"(all {[round(t, 3) for t in ts_]}) checksum={v:.4f}", flush=True)
 
 
 if __name__ == "__main__":
