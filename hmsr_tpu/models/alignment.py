@@ -169,6 +169,16 @@ def align(ref_state, moving_grey, config):
         # fused block-matching + ICA kernels: the search reuses the ICA
         # kernel's group-window DMA (saves a full image pass of gathers)
         if metric == "L1" and radius == 1 and is_pallas and prep is not None:
+            import os
+            if os.environ.get("HMSR_ICA_FUSED", "0") == "1" and \
+                    config.get("tpu", {}).get("ica_fused", True):
+                # single-kernel BM+GN: 1 launch instead of 1 + n_iter at
+                # the finest level (hardware-verified vs the scalar oracle)
+                from ..ops.pallas_ica_fused import match_l1_refine_ica_fused
+                flow = match_l1_refine_ica_fused(
+                    ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter,
+                    prep=prep)
+                continue
             from ..ops.pallas_ica import match_l1_refine_ica_pallas
             flow = match_l1_refine_ica_pallas(
                 ref_lvl, ref_state.ica[l], moving_lvl, flow, ts, n_iter,

@@ -230,6 +230,13 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
         upscale = 1
 
     comp_means, _ = local_stats_3x3(guide)
+    # profiling knob (tools/bisect_pipeline.py): truncate the chain after
+    # k sub-stages; the output stays shape-correct but carries only the
+    # computed prefix (1 = guide+stats, 2 = +warp, else full).
+    trunc = int(config.get("tpu", {}).get("rob_trunc", 0))
+    if trunc == 1:
+        return jnp.full(comp_img.shape, jnp.sum(comp_means[:, ::7, ::11]),
+                        DEFAULT_FLOAT)
     if _use_tiled_warp(config):
         out_shape = (guide.shape[1] * upscale, guide.shape[2] * upscale)
         comp_means, comp_valid = _warp(comp_means, upscale, tile_size, flow,
@@ -238,6 +245,10 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
         comp_means, comp_valid = upscale_warp_stats(comp_means, upscale,
                                                     tile_size=tile_size,
                                                     flow=flow)
+    if trunc == 2:
+        return jnp.full(comp_img.shape,
+                        jnp.sum(comp_means[:, ::7, ::11]) +
+                        jnp.sum(comp_valid[::7, ::11]), DEFAULT_FLOAT)
 
     d_p = jnp.abs(ref_stats.means - comp_means)
     d_t = ref_stats.d_t

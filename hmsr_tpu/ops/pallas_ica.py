@@ -53,9 +53,12 @@ def _xg(ts):
     return _XG_MULT * max(1, 128 // int(np.gcd(int(ts), 128)))
 
 
-#: tile-count threshold above which ``align`` picks this kernel over the
-#: tiled XLA path (each distinct shape costs a Mosaic compile).
-PALLAS_ICA_MIN_TILES = 2000
+#: tile-count threshold above which ``align`` picks these kernels over the
+#: tiled XLA path. 1 == every level: the restructured kernels are correct
+#: and fast at any grid size, and on the TPU backend the XLA paths' tiny
+#: coarse levels were measured at ~20 ms/frame of in-scan time (per-op
+#: overhead + gather lowering), dwarfing the extra Mosaic compiles.
+PALLAS_ICA_MIN_TILES = 1
 
 
 def _dma_rows(win):
@@ -497,6 +500,13 @@ def _pad_flow(flow, NTXP):
     return fl
 
 
+def _use_fused_gn():
+    # measured IN-SCAN at 12MP: the single-kernel fused path is ~25% SLOWER
+    # than per-iteration launches (short kernel bodies pipeline across grid
+    # programs; one long serial body does not) — default off, kept for A/B.
+    return _os.environ.get("HMSR_ICA_FUSED", "0") == "1"
+
+
 def _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret):
     hs = prep.hstatic
     det_inv, a11, a01 = hs[..., 0], hs[..., 1], hs[..., 2]
@@ -513,6 +523,12 @@ def _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret):
 def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
                       interpret=False, prep=None):
     """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
+    if _use_fused_gn():
+        # single-kernel GN: all iterations inside one launch (in-kernel
+        # scalar updates, hardware-verified vs the scalar oracle)
+        from .pallas_ica_fused import refine_ica_pallas as fused
+        return fused(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
+                     interpret=interpret, prep=prep)
     ny, nx, _ = flow.shape
     ts = int(tile_size)
     XG = _xg(ts)
@@ -586,5 +602,9 @@ def match_l2_refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
                        interpret=interpret)
     flow_p = flow_p + jnp.stack([dx, dy], axis=-1)
 
+    if _use_fused_gn():
+        from .pallas_ica_fused import refine_ica_pallas as fused
+        return fused(ref_lvl, ica_state, moving, flow_p[:, :nx], tile_size,
+                     n_iter, interpret=interpret, prep=prep)
     flow_p = _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret)
     return flow_p[:, :nx]

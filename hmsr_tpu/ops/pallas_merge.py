@@ -31,6 +31,10 @@ from ..utils.types import DEFAULT_FLOAT
 
 _DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
 
+# program width multiplier (see pallas_ica._XG_MULT)
+import os as _os
+_XG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_XG", "1")))
+
 #: group-window width: covers the XG x-adjacent tile windows of a program
 #: plus 128-alignment slack, for every supported (tile_size, scale) pair
 _GCOLS_M = 512
@@ -91,7 +95,7 @@ def padded_accum_shape(config, in_shape, n_ch=None):
     B = Ts * s
     nty = -(-out_h // B)
     ntx = -(-out_w // B)
-    XG = max(1, 128 // int(np.gcd(Ts, 128)))
+    XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
     return (n_ch, nty * B, NTXP * B)
 
@@ -149,7 +153,7 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                      extra_rows=ROWS_K, extra_cols=_DMA_COLS)
 
     # tiles per program along x so every block's lane dim is 128-divisible
-    XG = max(1, 128 // int(np.gcd(Ts, 128)))
+    XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
     r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, NTXP * Ts - W)), mode="edge")
 

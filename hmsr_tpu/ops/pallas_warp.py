@@ -24,6 +24,10 @@ from .pallas_merge import _dot_sel, _sel_dot
 
 _DMA_COLS = 256
 
+# program width multiplier (see pallas_ica._XG_MULT)
+import os as _os
+_XG_MULT = max(1, int(_os.environ.get("HMSR_WARP_XG", "1")))
+
 
 def _dma_rows(win):
     return -(-(win + 8) // 8) * 8
@@ -43,7 +47,7 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     nty = -(-H // Ts)
     ntx = -(-W // Ts)
     assert flow.shape[0] >= nty and flow.shape[1] >= ntx, (flow.shape, nty, ntx)
-    XG = max(1, 128 // int(np.gcd(Ts, 128)))
+    XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
 
     ROWS = _dma_rows(WIN)
@@ -259,13 +263,21 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
     center_y = Sy1v + (r_loc + phyv) // u               # (Ts, L) global
     center_x = Sx1v + (c_mod + phxv) // u               # (1, L)
 
-    Uv = u_slab[:]
+    # tap extraction: the column mapping depends only on dj — THREE
+    # selection matmuls of the flattened (c*SEG, XG*SEG) slab replace the
+    # 9*c per-tile lane concatenations; the di shift is a free row slice.
+    Uflat = u_slab[:].reshape(c * SEG, XG * SEG)
+    ti2 = jax.lax.broadcasted_iota(jnp.int32, (XG * SEG, L), 0)
+    tj2 = jax.lax.broadcasted_iota(jnp.int32, (XG * SEG, L), 1)
+    base_col = (tj2 // Ts) * SEG + (tj2 % Ts)
+    taps_dj = []
+    for dj in (-1, 0, 1):
+        S = (ti2 == base_col + u * (dj + 1)).astype(jnp.float32)
+        taps_dj.append(_dot_sel(Uflat, S))               # (c*SEG, L)
 
     def tap(ch, di, dj):
-        return jnp.concatenate(
-            [Uv[ch, u * (di + 1):u * (di + 1) + Ts,
-                t * SEG + u * (dj + 1):t * SEG + u * (dj + 1) + Ts]
-             for t in range(XG)], axis=-1)
+        r0 = ch * SEG + u * (di + 1)
+        return taps_dj[dj + 1][r0:r0 + Ts, :]
 
     acc = [jnp.zeros((Ts, L), jnp.float32) for _ in range(c)]
     w_acc = jnp.zeros((Ts, L), jnp.float32)

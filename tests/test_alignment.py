@@ -348,3 +348,25 @@ class TestPallasICALargeTiles:
                                            jnp.asarray(mov), flow0, ts, 3,
                                            interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+class TestFusedSingleKernel:
+    def test_fused_l1_matches_multilaunch(self):
+        """pallas_ica_fused (single-kernel BM+GN) vs the multi-launch path."""
+        from hmsr_tpu.models.block_matching import match_l1
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.ops.pallas_ica_fused import match_l1_refine_ica_fused
+        rng = np.random.RandomState(7)
+        img = smooth_image(64, 96, seed=7)
+        mov = shifted(img, 1.3, -0.8)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        flow0 = jnp.asarray((rng.rand(4, 6, 2) * 6 - 3).astype(np.float32))
+
+        bm = match_l1(jnp.asarray(img), jnp.asarray(mov), flow0, ts, 1)
+        want = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                           jnp.asarray(mov), bm, ts, 3))
+        got = np.asarray(match_l1_refine_ica_fused(
+            jnp.asarray(img), state, jnp.asarray(mov), flow0, ts, 3,
+            interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

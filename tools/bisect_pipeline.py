@@ -49,10 +49,26 @@ def main():
         config.tpu.ica_impl = os.environ["HMSR_ICA_IMPL"]
     if os.environ.get("HMSR_ROBUSTNESS_IMPL"):
         config.tpu.robustness_impl = os.environ["HMSR_ROBUSTNESS_IMPL"]
+    if os.environ.get("HMSR_ROB_TRUNC"):
+        config.tpu.rob_trunc = int(os.environ["HMSR_ROB_TRUNC"])
     sanitize_config(config, (H, W))
 
     rng = np.random.RandomState(0)
-    frames = (rng.rand(N, H, W).astype(np.float32) * 0.8 + 0.1)
+    # coherent burst (shifted copies of one scene + noise): independent
+    # random frames give garbage flow, putting every group-DMA fast path
+    # permanently on its worst-case fallback — unrepresentative timings
+    base = rng.rand(H, W).astype(np.float32) * 0.8 + 0.1
+    try:
+        from scipy.ndimage import gaussian_filter
+        base = gaussian_filter(base, 2.0)
+    except ImportError:
+        pass
+    frames = np.empty((N, H, W), np.float32)
+    for n in range(N):
+        dy, dx = (0, 0) if n == 0 else rng.randint(-3, 4, 2)
+        sh = np.roll(base, (dy, dx), (0, 1))
+        frames[n] = np.clip(
+            sh + 0.02 * rng.randn(H, W).astype(np.float32), 0, 1)
     b = np.arange(1001) / 1000
     std = jnp.asarray(np.sqrt(ALPHA * b + BETA).astype(np.float32))
     diff = jnp.asarray((np.sqrt(2 / np.pi * 2 * (ALPHA * b + BETA) / 9)).astype(np.float32))
