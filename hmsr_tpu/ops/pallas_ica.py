@@ -45,8 +45,10 @@ _GCOLS = 512
 
 # program width multiplier: XG = mult * (128 / gcd(ts, 128)) tiles per
 # program — bigger programs amortize per-program scalar/DMA overhead over
-# more tiles (A/B knob; lane width XG*ts stays a multiple of 128).
-_XG_MULT = max(1, int(_os.environ.get("HMSR_ICA_XG", "1")))
+# more tiles (lane width XG*ts stays a multiple of 128). Default 2:
+# measured -6% on the in-scan align stage at 12MP with coherent flow
+# (worse on adversarial random flow, where the group fallback dominates).
+_XG_MULT = max(1, int(_os.environ.get("HMSR_ICA_XG", "2")))
 
 
 def _xg(ts):
@@ -121,29 +123,59 @@ def _pad_moving(moving, pad, rows, mode):
 from .pallas_merge import _dot_sel, _sel_dot  # noqa: E402
 
 
-def _kernel_realign(src, gwin_ref, win_ref, u_dst, sem, sem_g,
-                    Sys, Sxs, VW, XG, ROWS, hps, wps):
+def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
+                    stride, Sys, Sxs, VW, XG, ROWS, hps, wps):
     """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows of
-    ``src`` at the SMEM-provided (Sys[t], Sxs[t]): speculative group-DMA
-    fast path + per-tile-DMA fallback (merge-kernel pattern)."""
-    min_y = max_y = Sys[0]
-    min_x = max_x = Sxs[0]
-    for t in range(1, XG):
-        min_y = jnp.minimum(min_y, Sys[t])
-        max_y = jnp.maximum(max_y, Sys[t])
-        min_x = jnp.minimum(min_x, Sxs[t])
-        max_x = jnp.maximum(max_x, Sxs[t])
-    # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
-    gby = (jnp.clip(min_y, 0, hps - _GROWS) // 8) * 8
-    gbx = (jnp.clip(min_x, 0, wps - _GCOLS) // 128) * 128
+    ``src`` at the SMEM-provided (Sys[t], Sxs[t]): group-DMA fast path with
+    CROSS-PROGRAM double buffering + per-tile-DMA fallback.
+
+    Program j waits on the group fetch issued by program j-1 (or its own at
+    the start of a grid row) and issues j+1's speculative fetch before
+    computing — the group DMA latency hides behind the previous program's
+    compute. The group base is a pure function of the SMEM params row, so
+    the issuing and consuming programs agree exactly."""
+    jg = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    def group_base(jg2):
+        min_y = max_y = pi_ref[0, 0, (jg2 * XG) * stride + 0]
+        min_x = max_x = pi_ref[0, 0, (jg2 * XG) * stride + 1]
+        for t in range(1, XG):
+            p0 = (jg2 * XG + t) * stride
+            min_y = jnp.minimum(min_y, pi_ref[0, 0, p0 + 0])
+            max_y = jnp.maximum(max_y, pi_ref[0, 0, p0 + 0])
+            min_x = jnp.minimum(min_x, pi_ref[0, 0, p0 + 1])
+            max_x = jnp.maximum(max_x, pi_ref[0, 0, p0 + 1])
+        # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
+        gby = (jnp.clip(min_y, 0, hps - _GROWS) // 8) * 8
+        gbx = (jnp.clip(min_x, 0, wps - _GCOLS) // 128) * 128
+        return gby, gbx, max_y, max_x
+
+    def issue(jg2, sl):
+        gby, gbx, _, _ = group_base(jg2)
+        pltpu.make_async_copy(
+            src.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
+            gwin2_ref.at[sl], gsem2.at[sl]).start()
+
+    gby, gbx, max_y, max_x = group_base(jg)
     fit = (((max_y - gby) <= _GROWS - VW) &
            ((max_x - gbx) <= _GCOLS - VW))
 
-    # speculative group fetch (wasted only on the rare non-fit path)
-    gdma = pltpu.make_async_copy(
-        src.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)], gwin_ref, sem_g)
-    gdma.start()
-    gdma.wait()
+    slot = jax.lax.rem(jg, 2)
+
+    @pl.when(jg == 0)
+    def _():
+        issue(jg, slot)
+
+    pltpu.make_async_copy(
+        src.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
+        gwin2_ref.at[slot], gsem2.at[slot]).wait()
+
+    @pl.when(jg + 1 < nj)
+    def _():
+        issue(jg + 1, 1 - slot)
+
+    gwin_ref = gwin2_ref.at[slot]
 
     SL = XG * VW
 
@@ -221,7 +253,7 @@ def _ica_step_kernel(pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
         fys.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
     _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
-                    Sys, Sxs, WIN, XG, ROWS, hp, wp)
+                    pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp)
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
@@ -305,10 +337,10 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),
+            pltpu.VMEM((2, _GROWS, _GCOLS), jnp.float32),
             pltpu.VMEM((WIN, XG * WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((XG,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -346,7 +378,7 @@ def _bm_kernel(pi_ref, mov_ref, ref_ref, out_ref,
         Wxs.append(pi_ref[0, 0, p0 + 1])
 
     _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
-                    Wys, Wxs, SWIN, XG, ROWS, hp, wp)
+                    pi_ref, 2, Wys, Wxs, SWIN, XG, ROWS, hp, wp)
 
     # zero the candidate-padding rows once (they enter the Seg matmul)
     if NCP > NC:
@@ -467,11 +499,11 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
         ],
         scratch_shapes=[
             pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((_GROWS, _GCOLS), jnp.float32),
+            pltpu.VMEM((2, _GROWS, _GCOLS), jnp.float32),
             pltpu.VMEM((SWIN, XG * SWIN), jnp.float32),
             pltpu.VMEM((NCP, max(XG * SWIN, 128)), jnp.float32),
             pltpu.SemaphoreType.DMA((XG,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

@@ -33,7 +33,7 @@ _DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
 
 # program width multiplier (see pallas_ica._XG_MULT)
 import os as _os
-_XG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_XG", "1")))
+_XG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_XG", "2")))
 
 #: group-window width: covers the XG x-adjacent tile windows of a program
 #: plus 128-alignment slack, for every supported (tile_size, scale) pair
@@ -204,14 +204,14 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),   # tile fallback
             pltpu.VMEM((2, 3, ROWS_K, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((ROWS_C + 16, _GCOLS_M), jnp.float32),  # comp group
-            pltpu.VMEM((3, ROWS_K + 16, _GCOLS_M), jnp.float32),  # cov group
+            pltpu.VMEM((2, ROWS_C + 16, _GCOLS_M), jnp.float32),   # comp x2
+            pltpu.VMEM((2, 3, ROWS_K + 16, _GCOLS_M), jnp.float32),  # cov x2
             pltpu.VMEM((B + 2 * s, XG * (B + 2 * s)), jnp.float32),   # U slab
             pltpu.VMEM((3, B + 2 * sg, XG * (B + 2 * sg)), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -299,8 +299,9 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     sg = s * g
     SEG = B + 2 * s
     CSEG = B + 2 * sg
-    GR_C, GCOLS = gwin_c.shape
-    GR_K = gwin_k.shape[1]
+    GR_C, GCOLS = gwin_c.shape[1], gwin_c.shape[2]
+    GR_K = gwin_k.shape[2]
+    gwin_k2 = gwin_k
     ROWS_C = comp_win.shape[1]
     ROWS_K = cov_win.shape[2]
 
@@ -334,20 +335,54 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             out = out + vals[t] * (lane_of == t).astype(jnp.int32)
         return out
 
-    # ---- speculative group fetches (wasted only on the rare non-fit path)
-    gby, gbx, mxy, mxx = bounds(P["Syp"], P["Sxp"], GR_C, hpc, wpc)
+    # ---- speculative group fetches with CROSS-PROGRAM double buffering:
+    # program j waits on the fetches issued by program j-1 (or its own at
+    # the start of a grid row) and issues j+1's before computing — the DMA
+    # latency hides behind the previous program's compute. Bases are pure
+    # functions of the SMEM params row, so issuer and consumer agree.
+    nj = pl.num_programs(1)
+
+    def bases_of(jg2):
+        ys = [params_ref[0, 0, (jg2 * XG + t) * 14 + 0] for t in range(XG)]
+        xs = [params_ref[0, 0, (jg2 * XG + t) * 14 + 1] for t in range(XG)]
+        c = bounds(ys, xs, GR_C, hpc, wpc)
+        if iso:
+            return c, None
+        ys2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 4] for t in range(XG)]
+        xs2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 5] for t in range(XG)]
+        return c, bounds(ys2, xs2, GR_K, hpk, wpk)
+
+    def issue(jg2, sl):
+        (gby2, gbx2, _, _), kk = bases_of(jg2)
+        pltpu.make_async_copy(
+            comp_ref.at[pl.ds(gby2, GR_C), pl.ds(gbx2, GCOLS)],
+            gwin_c.at[sl], gsem_c.at[sl]).start()
+        if not iso:
+            gbyk2, gbxk2, _, _ = kk
+            pltpu.make_async_copy(
+                cov_ref.at[:, pl.ds(gbyk2, GR_K), pl.ds(gbxk2, GCOLS)],
+                gwin_k.at[sl], gsem_k.at[sl]).start()
+
+    (gby, gbx, mxy, mxx), kk = bases_of(jg_)
     fit_c = ((mxy - gby) <= GR_C - WIN) & ((mxx - gbx) <= GCOLS - WIN)
-    gd_c = pltpu.make_async_copy(
-        comp_ref.at[pl.ds(gby, GR_C), pl.ds(gbx, GCOLS)], gwin_c, gsem_c)
-    gd_c.start()
     if not iso:
-        gbyk, gbxk, mxyk, mxxk = bounds(P["S2yp"], P["S2xp"], GR_K, hpk, wpk)
+        gbyk, gbxk, mxyk, mxxk = kk
         fit_k = ((mxyk - gbyk) <= GR_K - CWIN) & ((mxxk - gbxk) <= GCOLS - CWIN)
-        gd_k = pltpu.make_async_copy(
-            cov_ref.at[:, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS)],
-            gwin_k, gsem_k)
-        gd_k.start()
-    gd_c.wait()
+
+    slot = jax.lax.rem(jg_, 2)
+
+    @pl.when(jg_ == 0)
+    def _():
+        issue(jg_, slot)
+
+    @pl.when(jg_ + 1 < nj)
+    def _():
+        issue(jg_ + 1, 1 - slot)
+
+    pltpu.make_async_copy(
+        comp_ref.at[pl.ds(gby, GR_C), pl.ds(gbx, GCOLS)],
+        gwin_c.at[slot], gsem_c.at[slot]).wait()
+    gwin_c = gwin_c.at[slot]
 
     # ---- comp realignment/upsampling into the U slab
     @pl.when(fit_c)
@@ -393,7 +428,10 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
     # ---- covariance realignment/upsampling into the cc slab
     if not iso:
-        gd_k.wait()
+        pltpu.make_async_copy(
+            cov_ref.at[:, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS)],
+            gwin_k2.at[slot], gsem_k.at[slot]).wait()
+        gwin_k = gwin_k2.at[slot]
 
         @pl.when(fit_k)
         def _():

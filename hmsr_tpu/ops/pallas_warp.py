@@ -105,10 +105,10 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((c, ROWS, _DMA_COLS), jnp.float32),   # tile fallback
-            pltpu.VMEM((c, ROWS + 16, 512), jnp.float32),    # group window
+            pltpu.VMEM((2, c, ROWS + 16, 512), jnp.float32),  # group x2 (pf)
             pltpu.VMEM((c, SEG, XG * SEG), jnp.float32),     # U slab
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -131,7 +131,7 @@ def _dogson(x):
 
 
 def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
-                 win_ref, gwin_ref, u_slab, sem, gsem, *,
+                 win_ref, gwin2_ref, u_slab, sem, gsem, *,
                  u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps):
     """Group-window rewrite: one speculative DMA covers the XG x-adjacent
     tile windows (per-tile fallback for wild flow); realignment is one
@@ -139,10 +139,32 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
     the Dodgson 3x3 stencil then runs on (Ts, XG*Ts) slabs."""
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
+    nj = pl.num_programs(1)
     half = jnp.float32(0.5)
-    GR, GCOLS = gwin_ref.shape[1], gwin_ref.shape[2]
+    GR, GCOLS = gwin2_ref.shape[2], gwin2_ref.shape[3]
     ROWS = win_ref.shape[1]
     L = XG * Ts
+
+    def group_base(jg):
+        """(gby, gbx, mxy, mxx) of group ``jg`` — pure function of the SMEM
+        params row, so the issuing and consuming programs agree exactly."""
+        mny = mxy = params_ref[0, 0, (jg * XG) * 8 + 0]
+        mnx = mxx = params_ref[0, 0, (jg * XG) * 8 + 1]
+        for t in range(1, XG):
+            p0 = (jg * XG + t) * 8
+            mny = jnp.minimum(mny, params_ref[0, 0, p0 + 0])
+            mxy = jnp.maximum(mxy, params_ref[0, 0, p0 + 0])
+            mnx = jnp.minimum(mnx, params_ref[0, 0, p0 + 1])
+            mxx = jnp.maximum(mxx, params_ref[0, 0, p0 + 1])
+        gby = (jnp.clip(mny, 0, hps - GR) // 8) * 8
+        gbx = (jnp.clip(mnx, 0, wps - GCOLS) // 128) * 128
+        return gby, gbx, mxy, mxx
+
+    def issue(jg, slot):
+        gby, gbx, _, _ = group_base(jg)
+        pltpu.make_async_copy(
+            stats_ref.at[:, pl.ds(gby, GR), pl.ds(gbx, GCOLS)],
+            gwin2_ref.at[slot], gsem.at[slot]).start()
 
     Syp, Sxp, phy, phx, Sy1, Sx1, okl, fxl, fyl = ([] for _ in range(9))
     for t in range(XG):
@@ -157,21 +179,28 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
         fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
         fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
-    mny = mxy = Syp[0]
-    mnx = mxx = Sxp[0]
-    for t in range(1, XG):
-        mny = jnp.minimum(mny, Syp[t])
-        mxy = jnp.maximum(mxy, Syp[t])
-        mnx = jnp.minimum(mnx, Sxp[t])
-        mxx = jnp.maximum(mxx, Sxp[t])
-    gby = (jnp.clip(mny, 0, hps - GR) // 8) * 8
-    gbx = (jnp.clip(mnx, 0, wps - GCOLS) // 128) * 128
+    gby, gbx, mxy, mxx = group_base(jg_)
     fit = ((mxy - gby) <= GR - WIN) & ((mxx - gbx) <= GCOLS - WIN)
 
-    gdma = pltpu.make_async_copy(
-        stats_ref.at[:, pl.ds(gby, GR), pl.ds(gbx, GCOLS)], gwin_ref, gsem)
-    gdma.start()
-    gdma.wait()
+    # cross-program double buffering: program j waits on the fetch issued
+    # by program j-1 (or its own, at the start of a grid row) and issues
+    # j+1's speculative fetch before computing — the group DMA latency is
+    # hidden behind the previous program's compute.
+    slot = jax.lax.rem(jg_, 2)
+
+    @pl.when(jg_ == 0)
+    def _():
+        issue(jg_, slot)
+
+    pltpu.make_async_copy(
+        stats_ref.at[:, pl.ds(gby, GR), pl.ds(gbx, GCOLS)],
+        gwin2_ref.at[slot], gsem.at[slot]).wait()
+
+    @pl.when(jg_ + 1 < nj)
+    def _():
+        issue(jg_ + 1, 1 - slot)
+
+    gwin_ref = gwin2_ref.at[slot]
 
     @pl.when(fit)
     def _():

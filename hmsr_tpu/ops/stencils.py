@@ -23,15 +23,17 @@ def local_stats_3x3(img):
     boundary replicates edge pixels, matching the reference's clamped index
     arithmetic (robustness.py:281-284).
     """
-    p = _edge_pad(img, 1)
     h, w = img.shape[-2], img.shape[-1]
-    s = jnp.zeros_like(img)
-    s2 = jnp.zeros_like(img)
-    for i in range(3):
-        for j in range(3):
-            v = p[..., i:i + h, j:j + w]
-            s = s + v
-            s2 = s2 + v * v
+
+    def box3(x):
+        # separable 3x3 box: 3+3 shifted-slice passes instead of 9
+        p = _edge_pad(x, 1, axes=(-2,))
+        r = p[..., 0:h, :] + p[..., 1:1 + h, :] + p[..., 2:2 + h, :]
+        p = _edge_pad(r, 1, axes=(-1,))
+        return p[..., :, 0:w] + p[..., :, 1:1 + w] + p[..., :, 2:2 + w]
+
+    s = box3(img)
+    s2 = box3(img * img)
     mean = s / 9.0
     var = s2 / 9.0 - mean * mean
     return mean, var
