@@ -170,7 +170,11 @@ def align(ref_state, moving_grey, config):
         # kernel's group-window DMA (saves a full image pass of gathers)
         if metric == "L1" and radius == 1 and is_pallas and prep is not None:
             import os
-            if os.environ.get("HMSR_ICA_FUSED", "0") == "1" and \
+            from ..ops.pallas_ica import FUSED_GN_MAX_TILES
+            n_t = npatches[0] * npatches[1]
+            if (os.environ.get("HMSR_ICA_FUSED", "") == "1" or
+                (os.environ.get("HMSR_ICA_FUSED", "") != "0" and
+                 n_t < FUSED_GN_MAX_TILES)) and \
                     config.get("tpu", {}).get("ica_fused", True):
                 # single-kernel BM+GN: 1 launch instead of 1 + n_iter at
                 # the finest level (hardware-verified vs the scalar oracle)

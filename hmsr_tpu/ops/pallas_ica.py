@@ -532,11 +532,19 @@ def _pad_flow(flow, NTXP):
     return fl
 
 
-def _use_fused_gn():
-    # measured IN-SCAN at 12MP: the single-kernel fused path is ~25% SLOWER
-    # than per-iteration launches (short kernel bodies pipeline across grid
-    # programs; one long serial body does not) — default off, kept for A/B.
-    return _os.environ.get("HMSR_ICA_FUSED", "0") == "1"
+#: below this many tiles a level is LAUNCH-overhead-bound (~0.4 ms per
+#: in-program pallas_call) and the single-kernel fused GN wins; above it the
+#: per-iteration launches win (short kernel bodies pipeline across grid
+#: programs; one long serial body does not) — both measured in-scan at 12MP.
+FUSED_GN_MAX_TILES = int(_os.environ.get("HMSR_ICA_FUSE_BELOW", "2000"))
+
+
+def _use_fused_gn(n_tiles=None):
+    if _os.environ.get("HMSR_ICA_FUSED", "") == "1":
+        return True
+    if _os.environ.get("HMSR_ICA_FUSED", "") == "0":
+        return False
+    return n_tiles is not None and n_tiles < FUSED_GN_MAX_TILES
 
 
 def _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret):
@@ -555,7 +563,7 @@ def _gn_iterations(prep, mov_pad, flow_p, ts, n_iter, interpret):
 def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
                       interpret=False, prep=None):
     """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
-    if _use_fused_gn():
+    if _use_fused_gn(flow.shape[0] * flow.shape[1]):
         # single-kernel GN: all iterations inside one launch (in-kernel
         # scalar updates, hardware-verified vs the scalar oracle)
         from .pallas_ica_fused import refine_ica_pallas as fused
@@ -634,7 +642,7 @@ def match_l2_refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size,
                        interpret=interpret)
     flow_p = flow_p + jnp.stack([dx, dy], axis=-1)
 
-    if _use_fused_gn():
+    if _use_fused_gn(ny * NTXP):
         from .pallas_ica_fused import refine_ica_pallas as fused
         return fused(ref_lvl, ica_state, moving, flow_p[:, :nx], tile_size,
                      n_iter, interpret=interpret, prep=prep)

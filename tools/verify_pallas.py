@@ -47,7 +47,9 @@ def main():
     CFA = np.array([[0, 1], [1, 2]])
 
     skip_ica = bool(os.environ.get("SKIP_ICA"))
-    for ts in (16, 32, 64):
+    # ts=8 is the production coarsest-level geometry (tile_size_factors 0.5)
+    # and exercises XG = 2 * 16 tiles/program — ICA kernels only.
+    for ts in (8, 16, 32, 64):
         # tile grid: a handful of tiles in each direction
         ny, nx = 6, 8
         h, w = ny * ts, nx * ts
@@ -100,6 +102,8 @@ def main():
             results.append(check(f"fused_l2_ica ts={ts}", got, want))
 
         # ---- upscale/warp stats (robustness Dodgson) ----
+        if ts == 8:
+            continue          # warp/merge never run at ts=8 in the pipeline
         g = 2
         stats = rng.rand(3, h // g, w // g).astype(np.float32)
         stats_j = jnp.asarray(stats)
