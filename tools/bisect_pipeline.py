@@ -24,7 +24,7 @@ def main():
     from hmsr_tpu.models.robustness import compute_robustness, init_robustness
     from hmsr_tpu.models.kernels import estimate_kernels
     from hmsr_tpu.models.pipeline import select_merge, select_merge_ref
-    from hmsr_tpu.ops.grey import fft_lowpass_grey
+    from hmsr_tpu.ops.grey import compute_grey_image
     from hmsr_tpu.utils.types import DEFAULT_FLOAT
 
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -77,7 +77,7 @@ def main():
     merge_ref_fn = select_merge_ref(config)
 
     def run(ref_img, comps):
-        ref_grey = fft_lowpass_grey(ref_img)
+        ref_grey = compute_grey_image(ref_img, "FFT")
         astate = init_alignment(ref_grey, config) if stage not in ("upload", "grey") else None
         rstats = init_robustness(ref_img, CFA, WB, (std, diff), config) \
             if stage in ("rob", "kern", "merge", "mergeref", "all") else None
@@ -93,7 +93,7 @@ def main():
             acc = jnp.sum(frame[::97, ::101])
             if stage == "upload":
                 return (num, den), acc
-            grey = fft_lowpass_grey(frame)
+            grey = compute_grey_image(frame, "FFT")
             acc = acc + jnp.sum(grey[::97, ::101])
             if stage == "grey":
                 return (num, den), acc
