@@ -141,6 +141,7 @@ def main():
     std_curve, diff_curve = run_fast_MC(ALPHA, BETA)
     log(f"noise curves: {time.perf_counter()-t0:.1f}s")
 
+    failed = []                               # [{"variant":..., "error":...}]
     sizes = [(1500, 2000), (3000, 4000)]      # known-good first, target last
     results = {}
     for h, w in sizes:
@@ -148,26 +149,33 @@ def main():
             results[(h, w)] = bench_size(h, w, N_FRAMES, std_curve, diff_curve)
         except Exception as e:
             log(f"[{h}x{w}] FAILED: {type(e).__name__}: {e}")
+            failed.append({"variant": f"bright_{h}x{w}",
+                           "error": f"{type(e).__name__}: {e}"[:300]})
             break
 
     if not results:
         print(json.dumps({"metric": "e2e_burst_x2SR_wallclock",
-                          "value": -1, "unit": "s", "vs_baseline": 0}))
-        return
+                          "value": -1, "unit": "s", "vs_baseline": 0,
+                          "failed_variants": failed}))
+        sys.exit(1)
 
     (h, w), best = max(results.items(), key=lambda kv: kv[0][0] * kv[0][1])
     mpix = h * w / 1e6
 
-    # low-light variant (SNR-adaptive Ts=32/64 paths) at the largest
-    # successful size — reported alongside, never replacing the headline
-    dark = None
-    try:
-        # mean ~0.07 -> SNR ~18 -> Ts=32 (the low-light geometry; Ts=64 is
-        # covered compiled by tools/verify_pallas.py)
-        dark = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
-                          brightness=0.07, tag=" dark")
-    except Exception as e:
-        log(f"[{h}x{w} dark] FAILED: {type(e).__name__}: {e}")
+    # low-light variants (SNR-adaptive Ts=32/64 paths) at the largest
+    # successful size — reported alongside, never replacing the headline.
+    # A variant failure is NEVER silent: it lands in failed_variants and
+    # flips the exit code (the r02 dark crash sailed through rc=0).
+    extras = {}
+    for key, brightness, tag in [("dark_value", 0.07, " dark"),
+                                 ("dark64_value", 0.02, " dark64")]:
+        try:
+            extras[key] = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
+                                     brightness=brightness, tag=tag)
+        except Exception as e:
+            log(f"[{h}x{w}{tag}] FAILED: {type(e).__name__}: {e}")
+            failed.append({"variant": tag.strip(),
+                           "error": f"{type(e).__name__}: {e}"[:300]})
 
     # scale the reference baseline to the measured pixel count
     baseline = BASELINE_S * mpix / BASELINE_MPIX
@@ -177,9 +185,13 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline / best, 3),
     }
-    if dark is not None:
-        out["dark_value"] = round(dark, 4)
+    for key, v in extras.items():
+        out[key] = round(v, 4)
+    if failed:
+        out["failed_variants"] = failed
     print(json.dumps(out))
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

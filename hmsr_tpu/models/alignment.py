@@ -144,8 +144,17 @@ def align(ref_state, moving_grey, config):
     n_lvls = len(levels)
 
     # profiling knob (tools/bisect_pipeline.py): truncate the descent after
-    # k levels; the remaining levels return upscaled flow only.
+    # k levels; the remaining levels return upscaled flow only. Guarded:
+    # truncated flow silently corrupts output, so it refuses to run unless
+    # the profiling harness has set HMSR_DEBUG_TRUNC=1.
     max_lvls = int(config.get("tpu", {}).get("align_levels", n_lvls))
+    if max_lvls < n_lvls:
+        import os
+        if os.environ.get("HMSR_DEBUG_TRUNC") != "1":
+            raise ValueError(
+                "tpu.align_levels is a profiling-only knob that truncates "
+                "the alignment descent (flow becomes meaningless). Unset it, "
+                "or set HMSR_DEBUG_TRUNC=1 if you are bisecting performance.")
 
     flow = None
     for l in range(n_lvls):

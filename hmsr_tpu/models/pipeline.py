@@ -139,11 +139,13 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     comp_imgs = comp_imgs.astype(DEFAULT_FLOAT)
 
     grey_method = str(config.get("grey_method", "FFT"))
+    grey_impl = str(config.get("tpu", {}).get("grey_impl", "auto"))
     decimating = bayer and grey_method == "decimating"
     ts_raw = int(config.block_matching.tuning.tile_size)
 
     def to_grey(frame):
-        return compute_grey_image(frame, grey_method) if bayer else frame
+        return compute_grey_image(frame, grey_method, impl=grey_impl) \
+            if bayer else frame
 
     def to_raw_flow(flow, raw_shape):
         return flow_to_raw_grid(flow, raw_shape, ts_raw) if decimating else flow

@@ -75,7 +75,9 @@ def _trace_stages(burst, std_curve, diff_curve, config):
     curves = (jnp.asarray(std_curve, DEFAULT_NUMPY_FLOAT),
               jnp.asarray(diff_curve, DEFAULT_NUMPY_FLOAT))
     cfa, wb = burst.cfa, burst.white_balance
-    grey_fn = jax.jit(lambda f: compute_grey_image(f, grey_method)
+    grey_impl = str(config.get("tpu", {}).get("grey_impl", "auto"))
+    grey_fn = jax.jit(lambda f: compute_grey_image(f, grey_method,
+                                                   impl=grey_impl)
                       if bayer else f)
 
     print(" -- Stage trace (first frame, incl. dispatch overhead):")

@@ -232,8 +232,17 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
     comp_means, _ = local_stats_3x3(guide)
     # profiling knob (tools/bisect_pipeline.py): truncate the chain after
     # k sub-stages; the output stays shape-correct but carries only the
-    # computed prefix (1 = guide+stats, 2 = +warp, else full).
+    # computed prefix (1 = guide+stats, 2 = +warp, else full). Guarded:
+    # truncation silently corrupts output, so it refuses to run unless the
+    # profiling harness has set HMSR_DEBUG_TRUNC=1.
     trunc = int(config.get("tpu", {}).get("rob_trunc", 0))
+    if trunc:
+        import os
+        if os.environ.get("HMSR_DEBUG_TRUNC") != "1":
+            raise ValueError(
+                "tpu.rob_trunc is a profiling-only knob that truncates the "
+                "robustness chain (output becomes meaningless). Unset it, or "
+                "set HMSR_DEBUG_TRUNC=1 if you are bisecting performance.")
     if trunc == 1:
         return jnp.full(comp_img.shape, jnp.sum(comp_means[:, ::7, ::11]),
                         DEFAULT_FLOAT)

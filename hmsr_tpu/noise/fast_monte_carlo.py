@@ -169,8 +169,11 @@ def fit_alpha_beta(std_curve):
     mid = slice(n // 10, (9 * n) // 10)
     # the curves store the MEAN 9-sample ddof=0 std, a biased estimator:
     # E[s] = sigma * sqrt(2/9) * Gamma(4.5) / Gamma(4)  (~0.9137 sigma)
-    from scipy.special import gamma as _G
-    c9 = np.sqrt(2.0 / 9.0) * _G(4.5) / _G(4.0)
+    try:
+        from scipy.special import gamma as _G
+        c9 = np.sqrt(2.0 / 9.0) * _G(4.5) / _G(4.0)
+    except ImportError:       # keep scipy optional (like every other use)
+        c9 = 0.9138748917925524     # sqrt(2/9) * Gamma(4.5) / Gamma(4)
     sigma2 = (np.asarray(std_curve[mid]) / c9) ** 2
     A = np.stack([b[mid], np.ones_like(b[mid])], axis=-1)
     coef, *_ = np.linalg.lstsq(A, sigma2, rcond=None)

@@ -93,7 +93,11 @@ def fft_lowpass_grey_matmul(img):
         mx[-w // 4:] = 0.0
         ah, bh = _circulants(h, np.fft.ifftshift(my))
         aw, bw = _circulants(w, np.fft.ifftshift(mx))
-        _CIRC_CACHE[key] = tuple(jnp.asarray(m) for m in (ah, bh, aw, bw))
+        # Cache HOST NumPy arrays only. Caching jnp arrays here leaked
+        # trace-local tracers into later jit traces of the same size
+        # (UnexpectedTracerError on every second trace); NumPy constants
+        # are embedded per-trace by JAX and are always safe.
+        _CIRC_CACHE[key] = (ah, bh, aw, bw)
     a_h, b_h, a_w, b_w = _CIRC_CACHE[key]
     import jax
 

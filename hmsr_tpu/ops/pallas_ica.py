@@ -470,6 +470,11 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
     tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :]
     Wy = ty * ts + iflow[..., 1].astype(jnp.int32) - rbm
     Wx = tx * ts + iflow[..., 0].astype(jnp.int32) - rbm
+    # Same clip bounds as the XLA extract_flow_patches (block_matching.py:64):
+    # a BINDING clamp leaves every candidate window fully inside the metric's
+    # pad region (all-zero for L1 / edge rows for L2), so all candidates tie
+    # exactly as in the XLA path and the first-min argmin picks the same
+    # displacement (test_fused_l1_bm_extreme_flow / test_fused_l2_bm_edge_clamp).
     Wyc = jnp.clip(Wy, -pad, h) + pad
     Wxc = jnp.clip(Wx, -pad, w) + pad
     # keep DMA-legal (the clip above follows the reference's semantics; the

@@ -73,10 +73,13 @@ def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
     S2x, S2xc, ph2_x = win_params(m2_x, tx * B, gw, CPAD, CWIN, sg)
 
     ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.int32)
+    # slot 13: the tile row's ABSOLUTE HR row base (ty*B) — the kernel reads
+    # it instead of program_id so a band of tile rows can run at any offset
+    # (space-sharded accumulator layout, parallel/sharded.py).
     params = jnp.stack([Syc + PAD, Sxc + PAD, ph_y, ph_x,
                         S2yc + CPAD, S2xc + CPAD, ph2_y, ph2_x,
                         Sy + 1, Sx + 1, S2y + 1, S2x + 1, ok,
-                        jnp.zeros_like(ok)], axis=-1)
+                        jnp.broadcast_to(ty * B, ok.shape)], axis=-1)
     return params
 
 
@@ -101,13 +104,20 @@ def padded_accum_shape(config, in_shape, n_ch=None):
 
 
 def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
-                 interpret=False):
+                 interpret=False, row_offset=0):
     """Pallas drop-in for ``merge_tiled`` (bayer/grey, steerable/iso).
 
     When ``num``/``den`` arrive at :func:`padded_accum_shape` geometry the
     kernel accumulates into them in place (input/output aliasing — no val/acc
     materialization, no XLA add, ~2.3 GB less HBM traffic per frame at 48MP);
     otherwise it materializes the frame contribution and adds (legacy path).
+
+    ``row_offset`` (python int or traced scalar, a multiple of B = Ts*s)
+    supports the space-sharded accumulator layout (parallel/sharded.py):
+    num/den then hold a BAND of tile rows — shape (n_ch, nb*B, NTXP*B) with
+    nb*B the band height — covering global HR rows [row_offset,
+    row_offset + nb*B). Tile rows beyond the image grid contribute exactly
+    zero (their ok-flag is 0). Requires the padded (in-place) geometry.
     """
     s = int(config.scale)
     assert s == config.scale and s >= 1
@@ -155,7 +165,21 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     # tiles per program along x so every block's lane dim is 128-divisible
     XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
-    r_pad = jnp.pad(r, ((0, nty * Ts - H), (0, NTXP * Ts - W)), mode="edge")
+
+    # band geometry: nb tile rows starting at tile row row_offset // B.
+    # Full-grid callers (nb == nty, offset 0) keep the all-static fast path.
+    in_place = (num.shape[1] % B == 0 and num.shape[2] == NTXP * B
+                and num.shape == den.shape)
+    static_zero_off = isinstance(row_offset, int) and row_offset == 0
+    nb = num.shape[1] // B if in_place else nty
+    if not in_place:
+        assert static_zero_off, \
+            "row_offset requires the padded_accum_shape (band) geometry"
+    banded = in_place and (nb != nty or not static_zero_off)
+    # static row bound every band fits in: ceil(nty/nb) bands of nb rows
+    nty_p = -(-nty // nb) * nb if banded else nty
+
+    r_pad = jnp.pad(r, ((0, nty_p * Ts - H), (0, NTXP * Ts - W)), mode="edge")
 
     params = _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw,
                                      PAD, CPAD, WIN, CWIN)
@@ -163,19 +187,28 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     if NTXP != ntx:
         fill = jnp.zeros((nty, NTXP - ntx, 14), params.dtype)
         params = jnp.concatenate([params, fill], axis=1)
-    params_flat = params.reshape(nty, 1, NTXP * 14)
     flow_t = flow[:nty, :ntx].astype(DEFAULT_FLOAT)
     if NTXP != ntx:
         flow_t = jnp.concatenate(
             [flow_t, jnp.zeros((nty, NTXP - ntx, 2), DEFAULT_FLOAT)], axis=1)
-    flow_f = flow_t.reshape(nty, 1, NTXP * 2)
+    if banded:
+        if nty_p != nty:
+            # zero params rows: ok-flag 0 -> zero contribution (see docstring)
+            params = jnp.concatenate(
+                [params, jnp.zeros((nty_p - nty, NTXP, 14), params.dtype)], 0)
+            flow_t = jnp.concatenate(
+                [flow_t, jnp.zeros((nty_p - nty, NTXP, 2), flow_t.dtype)], 0)
+        t0 = jnp.asarray(row_offset, jnp.int32) // B
+        params = jax.lax.dynamic_slice_in_dim(params, t0, nb, axis=0)
+        flow_t = jax.lax.dynamic_slice_in_dim(flow_t, t0, nb, axis=0)
+        r_pad = jax.lax.dynamic_slice_in_dim(r_pad, t0 * Ts, nb * Ts, axis=0)
+    params_flat = params.reshape(nb, 1, NTXP * 14)
+    flow_f = flow_t.reshape(nb, 1, NTXP * 2)
 
     rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
                               np.ones((s, 1), np.float32)))
     rrx = jnp.asarray(np.kron(np.eye(XG * Ts, dtype=np.float32),
                               np.ones((1, s), np.float32)))
-
-    in_place = num.shape == (n_ch, nty * B, NTXP * B)
 
     kernel = functools.partial(
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
@@ -186,7 +219,7 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
-        grid=(nty, NTXP // XG),
+        grid=(nb, NTXP // XG),
         in_specs=[
             # per-row SMEM parameter blocks (full prefetch would blow SMEM)
             pl.BlockSpec((1, 1, NTXP * 14), lambda i, j: (i, 0, 0),
@@ -218,11 +251,15 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     operands = [params_flat, flow_f, comp_pad, cov_pad, r_pad, rry, rrx]
     if in_place:
         operands += [num, den]
+    # under shard_map the outputs inherit num's varying mesh axes (vma);
+    # outside one jax.typeof(...).vma is the empty frozenset -> plain struct
+    vma = getattr(jax.typeof(num), "vma", frozenset())
+    out_struct = jax.ShapeDtypeStruct((n_ch, nb * B, NTXP * B), jnp.float32,
+                                      vma=vma if vma else None)
     val, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32),
-                   jax.ShapeDtypeStruct((n_ch, nty * B, NTXP * B), jnp.float32)),
+        out_shape=(out_struct, out_struct),
         input_output_aliases={7: 0, 8: 1} if in_place else {},
         interpret=interpret,
     )(*operands)
@@ -293,7 +330,6 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         (val_ref, acc_ref,
          comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
          sem_c, sem_k, gsem_c, gsem_k) = refs
-    i = pl.program_id(0)
     jg_ = pl.program_id(1)
     half = jnp.float32(0.5)
     sg = s * g
@@ -503,7 +539,9 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
     center_i = Sy1v + (r_loc + phyv) // s               # (B, XG*B)
     center_j = Sx1v + (c_mod + phxv) // s               # (1, XG*B)
-    Rrow = (i * B + r_loc).astype(jnp.float32)
+    # absolute HR row base from SMEM (params slot 13, == ty*B) — NOT
+    # program_id, so a row band can run at any global offset (sharded path)
+    Rrow = (params_ref[0, 0, (jg_ * XG) * 14 + 13] + r_loc).astype(jnp.float32)
     Ccol = (jg_ * (XG * B) + lane).astype(jnp.float32)
     lr_mov_y = (Rrow + half) / s + fyv
     lr_mov_x = (Ccol + half) / s + fxv

@@ -31,7 +31,7 @@ from jax import shard_map
 
 from ..models.alignment import align, init_alignment
 from ..models.kernels import estimate_kernels
-from ..models.pipeline import flow_to_raw_grid
+from ..models.pipeline import flow_to_raw_grid, _on_tpu
 from ..models.merge import merge, merge_ref
 from ..models.merge_tiled import merge_tiled
 from ..models.robustness import compute_robustness, init_robustness
@@ -74,11 +74,16 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
 
     bayer = config.mode == "bayer"
     scale = config.scale
-    # per-frame merge: the tile-restructured fast path supports the sharded
-    # row_offset accumulator layout for integer scales; the exact gather
-    # formulation remains the fractional-scale fallback.
+    # per-frame merge: the Pallas kernel (banded row_offset accumulator) on
+    # TPU, the tile-restructured XLA fast path elsewhere; the exact gather
+    # formulation remains the fractional-scale fallback. Multi-chip inherits
+    # the single-chip production kernel (VERDICT r02 #5).
     integer_scale = float(scale) == int(scale)
     impl = config.get("tpu", {}).get("merge_impl", "auto")
+    use_pallas = integer_scale and (
+        impl == "pallas" or (impl == "auto" and _on_tpu()))
+    pallas_interpret = bool(config.get("tpu", {}).get("pallas_interpret",
+                                                      False))
     merge_impl = merge_tiled if (integer_scale and impl != "gather") else merge
     robustness_denoise = bool(config.accumulated_robustness_denoiser.get("enabled", False))
     accumulate_r = bool(robustness_denoise or config.robustness.save_mask)
@@ -91,7 +96,9 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         grey_method = str(config.get("grey_method", "FFT"))
         decimating = bayer and grey_method == "decimating"
         ts_raw = int(config.block_matching.tuning.tile_size)
-        to_grey = (lambda f: compute_grey_image(f, grey_method)) if bayer \
+        grey_impl = str(config.get("tpu", {}).get("grey_impl", "auto"))
+        to_grey = (lambda f: compute_grey_image(f, grey_method,
+                                                impl=grey_impl)) if bayer \
             else (lambda f: f)
         ref_grey = to_grey(ref_img)
         align_state = init_alignment(ref_grey, config)
@@ -100,20 +107,33 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
 
         h, w = ref_img.shape
         out_h, out_w = round(scale * h), round(scale * w)
-        assert out_h % n_space == 0, (out_h, n_space)
-        block = out_h // n_space
+        n_ch = 3 if bayer else 1
+        if use_pallas:
+            # band-of-tile-rows layout: each space shard owns nb tile rows of
+            # the PADDED accumulator (nty_p*B x NTXP*B); the assembled image
+            # is cropped to (out_h, out_w) by the caller (make_sharded_pipeline)
+            from ..ops.pallas_merge import merge_pallas, padded_accum_shape
+            _, acc_h, acc_w = padded_accum_shape(config, (h, w), n_ch)
+            B = int(config.block_matching.tuning.tile_size) * int(scale)
+            nb = -(-(acc_h // B) // n_space)
+            block, block_w = nb * B, acc_w
+        else:
+            assert out_h % n_space == 0, (out_h, n_space)
+            block, block_w = out_h // n_space, out_w
         row_offset = jax.lax.axis_index("space") * block
 
-        n_ch = 3 if bayer else 1
         # mark the initial carries as device-varying over both mesh axes so
         # the scan carry type matches its (frame- and offset-dependent) output
+        # (no-op when the vma checker is off — see check_vma below)
         vary = ("frames", "space")
-        num = jax.lax.pcast(jnp.zeros((n_ch, block, out_w), DEFAULT_FLOAT), vary,
-                            to="varying")
-        den = jax.lax.pcast(jnp.zeros((n_ch, block, out_w), DEFAULT_FLOAT), vary,
-                            to="varying")
-        acc_r = jax.lax.pcast(jnp.zeros((h, w), DEFAULT_FLOAT), vary,
-                              to="varying") if accumulate_r else None
+
+        def mark_varying(x):
+            return jax.lax.pcast(x, vary, to="varying") if check_vma else x
+
+        num = mark_varying(jnp.zeros((n_ch, block, block_w), DEFAULT_FLOAT))
+        den = mark_varying(jnp.zeros((n_ch, block, block_w), DEFAULT_FLOAT))
+        acc_r = mark_varying(jnp.zeros((h, w), DEFAULT_FLOAT)) \
+            if accumulate_r else None
 
         def step(carry, xs):
             num, den, acc_r = carry
@@ -127,8 +147,13 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
             if acc_r is not None:
                 acc_r = acc_r + r
             covs = estimate_kernels(frame, config)
-            num, den = merge_impl(frame, flow, covs, r, num, den, cfa, config,
-                                  row_offset=row_offset)
+            if use_pallas:
+                num, den = merge_pallas(frame, flow, covs, r, num, den, cfa,
+                                        config, interpret=pallas_interpret,
+                                        row_offset=row_offset)
+            else:
+                num, den = merge_impl(frame, flow, covs, r, num, den, cfa,
+                                      config, row_offset=row_offset)
             ys = (flow, r) if debug_mode else None
             return (num, den, acc_r), ys
 
@@ -153,8 +178,7 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
             acc_out = jax.lax.psum(acc_r, "space") / mesh.shape["space"]
         else:
             acc_out = jax.lax.psum(
-                jax.lax.pcast(jnp.zeros((1, 1), DEFAULT_FLOAT),
-                              ("frames", "space"), to="varying"),
+                mark_varying(jnp.zeros((1, 1), DEFAULT_FLOAT)),
                 ("frames", "space")) * 0.0
         if debug_mode:
             # flow/robustness depend only on the frame axis; psum over
@@ -169,9 +193,25 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
     out_specs = (P("space"), P())
     if debug_mode:
         out_specs = out_specs + (P("frames"), P("frames"))
+    # the Pallas interpret/lowering machinery does not propagate varying-
+    # mesh-axes (vma) through its internal block slicing, so the vma checker
+    # must be off on the Pallas path (JAX's own recommended workaround);
+    # the psum-based replication certifications above hold either way.
+    check_vma = not use_pallas
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("frames"), P("frames"), P(), P()),
         out_specs=out_specs,
+        check_vma=check_vma,
     )
-    return jax.jit(sharded) if jit else sharded
+
+    def fn(ref_img, comps, weights, std_curve, diff_curve):
+        outs = sharded(ref_img, comps, weights, std_curve, diff_curve)
+        if use_pallas:
+            # bands cover the PADDED accumulator; crop to the true image
+            out_h = round(scale * ref_img.shape[0])
+            out_w = round(scale * ref_img.shape[1])
+            outs = (outs[0][:out_h, :out_w],) + outs[1:]
+        return outs
+
+    return jax.jit(fn) if jit else fn

@@ -82,8 +82,27 @@ def print_parameters(config):
 
 
 def imsave(fname, rgb_8bit):
-    import cv2
-    cv2.imwrite(str(fname), cv2.cvtColor(rgb_8bit, cv2.COLOR_RGB2BGR))
+    """PNG save with optional backends: cv2 > imageio > PIL (cv2 is treated
+    as optional everywhere else in the package, e.g. raw2rgb tonemapping)."""
+    try:
+        import cv2
+        cv2.imwrite(str(fname), cv2.cvtColor(rgb_8bit, cv2.COLOR_RGB2BGR))
+        return
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio
+        iio.imwrite(str(fname), rgb_8bit)
+        return
+    except ImportError:
+        pass
+    try:
+        from PIL import Image
+        Image.fromarray(rgb_8bit).save(str(fname))
+        return
+    except ImportError:
+        raise ImportError(
+            "Saving PNGs requires one of cv2, imageio or PIL; none found.")
 
 
 def main():

@@ -283,6 +283,32 @@ class TestPallasICA:
             interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
+    def test_fused_l1_bm_extreme_flow(self):
+        """L1 windows pushed (fully) off the border: the Pallas path's DMA
+        start clamp must reproduce match_l1's zero-fill semantics — a
+        fully-OOB window ties all candidates at sum|ref| and picks the
+        first (ADVICE r02: suspected shifted-real-pixel reads)."""
+        from hmsr_tpu.models.block_matching import match_l1
+        from hmsr_tpu.models.ica import refine_ica_tiled
+        from hmsr_tpu.ops.pallas_ica import match_l1_refine_ica_pallas
+        rng = np.random.RandomState(13)
+        img = np.round(smooth_image(48, 64, seed=13) * 256) / 256
+        mov = np.round(shifted(img, 0.7, -1.2) * 256) / 256
+        img = img.astype(np.float32)
+        mov = mov.astype(np.float32)
+        ts = 16
+        state = init_ica(jnp.asarray(img), ts)
+        # |flow| up to 40 > ts+1: border tiles' windows clamp (some fully OOB)
+        flow0 = jnp.asarray((rng.rand(3, 4, 2) * 80 - 40).astype(np.float32))
+
+        bm = match_l1(jnp.asarray(img), jnp.asarray(mov), flow0, ts, 1)
+        want = np.asarray(refine_ica_tiled(jnp.asarray(img), state,
+                                           jnp.asarray(mov), bm, ts, 2))
+        got = np.asarray(match_l1_refine_ica_pallas(
+            jnp.asarray(img), state, jnp.asarray(mov), flow0, ts, 2,
+            interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
     def test_fused_l2_bm_edge_clamp(self):
         """Windows pushed off the border must use edge-clamp semantics."""
         from hmsr_tpu.models.block_matching import match_l2

@@ -41,3 +41,30 @@ def test_cli_png_output(tmp_path):
     img = cv2.imread(str(out))
     assert img.shape == (256, 256, 3)
     assert out.with_suffix(".rob.png").exists()
+
+
+def test_bench_variant_failure_propagates(monkeypatch, capsys):
+    """A failing bench variant must land in failed_variants AND flip the
+    exit code (the r02 dark-variant crash sailed through rc=0)."""
+    import json
+    import bench
+
+    def fake_bench_size(h, w, n_frames, std, diff, n_runs=3,
+                        brightness=None, tag=""):
+        if tag:
+            raise RuntimeError("simulated dark-path crash")
+        return 1.234
+
+    import hmsr_tpu.noise as noise_mod
+    curves = (np.full(1001, 0.01), np.full(1001, 0.01))
+    monkeypatch.setattr(bench, "bench_size", fake_bench_size)
+    monkeypatch.setattr(noise_mod, "run_fast_MC", lambda a, b: curves)
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["value"] == 1.234
+    names = {f["variant"] for f in out["failed_variants"]}
+    assert names == {"dark", "dark64"}
+    assert "simulated dark-path crash" in out["failed_variants"][0]["error"]

@@ -193,3 +193,45 @@ class TestGreyMatmul:
         a = np.asarray(fft_lowpass_grey(jnp.asarray(img)))
         b = np.asarray(fft_lowpass_grey_matmul(jnp.asarray(img)))
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_matmul_retrace_no_tracer_leak(self):
+        """Regression: the circulant cache once stored trace-local jnp
+        constants, so the SECOND jit trace at the same size raised
+        UnexpectedTracerError (BENCH_r02 dark-variant crash). Two fresh
+        jits of the same size must both succeed and agree."""
+        import jax
+        from hmsr_tpu.ops.grey import fft_lowpass_grey_matmul, _CIRC_CACHE
+        _CIRC_CACHE.clear()
+        img = np.random.RandomState(0).rand(64, 64).astype(np.float32)
+        a = np.asarray(jax.jit(fft_lowpass_grey_matmul)(jnp.asarray(img)))
+        # a distinct jit wrapper forces a second trace at the same size
+        b = np.asarray(jax.jit(lambda x: fft_lowpass_grey_matmul(x) * 1.0)(
+            jnp.asarray(img)))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        # cached values must be host NumPy, never device/tracer values
+        for m in _CIRC_CACHE[(64, 64)]:
+            assert type(m) is np.ndarray
+
+    def test_process_twice_matmul_impl(self):
+        """process_arrays must be callable twice in one process with the
+        TPU-default matmul grey backend (the r02 production crash)."""
+        from hmsr_tpu.configs import default_config
+        from hmsr_tpu.models.process import process_arrays
+        from hmsr_tpu.ops.grey import _CIRC_CACHE
+        _CIRC_CACHE.clear()
+        rng = np.random.RandomState(1)
+        frames = rng.rand(3, 64, 64).astype(np.float32) * 0.5 + 0.25
+        config = default_config()
+        config.scale = 1
+        config.verbose = 0
+        config.block_matching.tuning.factors = [1, 2]
+        config.block_matching.tuning.tile_size_factors = [1, 1]
+        config.block_matching.tuning.search_radii = [1, 4]
+        config.block_matching.tuning.metrics = ["L1", "L2"]
+        config.tpu.grey_impl = "matmul"
+        config.noise_model.alpha = 1.8e-4
+        config.noise_model.beta = 3.0e-6
+        out1, _ = process_arrays(frames[0], frames[1:], config)
+        out2, _ = process_arrays(frames[0], frames[1:], config)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)

@@ -106,3 +106,57 @@ def test_large_tile_sizes(ts):
     gn, gd, wn, wd = run_both(2, ts, True, False, seed=ts, h=2 * ts, w=4 * ts)
     np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nb", [2, 3])
+def test_banded_row_offset(nb, seed=17):
+    """Band-of-tile-rows accumulation (the space-sharded layout): running
+    each band with its row_offset must reproduce the full-grid kernel, and
+    beyond-grid pad rows (nb=3: nty=4 -> bands of 3) must accumulate
+    exactly zero."""
+    import jax
+    from hmsr_tpu.ops.pallas_merge import padded_accum_shape
+    rng = np.random.RandomState(seed)
+    h, w, ts, scale = 64, 128, 16, 2
+    c = make_config(scale, ts, True, False)
+    comp = rng.rand(h, w).astype(np.float32)
+    ny, nx = -(-h // ts), -(-w // ts)
+    flow = (rng.rand(ny, nx, 2) * 2 - 1).astype(np.float32) * 5.0
+    r = rng.rand(h, w).astype(np.float32)
+    gg = rng.rand(h // 2, w // 2, 2).astype(np.float32) + 0.3
+    cov_c = np.stack([gg[..., 0], 0.2 * np.sqrt(gg[..., 0] * gg[..., 1]),
+                      gg[..., 1]]).astype(np.float32)
+
+    pad_shape = padded_accum_shape(c, (h, w))
+    n_ch, acc_h, acc_w = pad_shape
+    B = ts * scale
+    nty = acc_h // B
+    nty_p = -(-nty // nb) * nb
+    nump = rng.rand(n_ch, nty_p * B, acc_w).astype(np.float32)
+    denp = rng.rand(n_ch, nty_p * B, acc_w).astype(np.float32)
+
+    args = (jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(cov_c),
+            jnp.asarray(r))
+    want_n, want_d = merge_pallas(*args, jnp.asarray(nump[:, :acc_h]),
+                                  jnp.asarray(denp[:, :acc_h]), CFA, c,
+                                  interpret=True)
+
+    bands_n, bands_d = [], []
+    for k in range(nty_p // nb):
+        off = k * nb * B
+        bn, bd = merge_pallas(
+            *args, jnp.asarray(nump[:, off:off + nb * B]),
+            jnp.asarray(denp[:, off:off + nb * B]), CFA, c,
+            interpret=True, row_offset=jnp.int32(off))
+        bands_n.append(np.asarray(bn))
+        bands_d.append(np.asarray(bd))
+    got_n = np.concatenate(bands_n, axis=1)
+    got_d = np.concatenate(bands_d, axis=1)
+
+    np.testing.assert_allclose(got_n[:, :acc_h], np.asarray(want_n),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_d[:, :acc_h], np.asarray(want_d),
+                               atol=2e-4, rtol=1e-4)
+    # beyond-grid pad rows: zero contribution, initial values preserved
+    np.testing.assert_allclose(got_n[:, acc_h:], nump[:, acc_h:], atol=0)
+    np.testing.assert_allclose(got_d[:, acc_h:], denp[:, acc_h:], atol=0)

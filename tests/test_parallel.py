@@ -119,3 +119,31 @@ def test_sharded_debug_outputs_match_single_chip():
                                np.asarray(sdebug["flow"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(rmaps)[:n],
                                np.asarray(sdebug["robustness"]), atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_pallas_merge_matches_single_chip(mesh_shape):
+    """merge_impl=pallas under shard_map (interpret mode on CPU): the
+    banded row_offset Pallas accumulator must reproduce the single-chip
+    pipeline (VERDICT r02 #5 — multi-chip inherits the production kernel)."""
+    ref, comps, _, _ = make_synthetic_burst(64, 64, n_frames=4, alpha=ALPHA,
+                                            beta=BETA, seed=23)
+    c = small_config()
+    std, diff = curves()
+
+    single = make_pipeline(c, DEFAULT_CFA, WB)
+    want, _ = single(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+
+    c.tpu.merge_impl = "pallas"
+    c.tpu.pallas_interpret = True
+    mesh = make_mesh(*mesh_shape)
+    pipe = make_sharded_pipeline(c, DEFAULT_CFA, WB, mesh)
+    frames, weights = pad_frames(comps, mesh_shape[0])
+    got, acc_r = pipe(jnp.asarray(ref), jnp.asarray(frames),
+                      jnp.asarray(weights), std, diff)
+    assert got.shape == want.shape
+
+    np.testing.assert_allclose(np.nan_to_num(np.asarray(got)),
+                               np.nan_to_num(np.asarray(want)),
+                               atol=5e-4, rtol=1e-3)

@@ -36,6 +36,8 @@ def main():
     ALPHA, BETA = 1.8e-4, 3.0e-6
 
     import os
+    # this harness is the one place the truncation knobs are legitimate
+    os.environ["HMSR_DEBUG_TRUNC"] = "1"
     config = default_config()
     config.scale = 2
     config.verbose = 0
