@@ -69,6 +69,31 @@ def _circulants(n, keep_mask_1d):
     return np.real(k)[idx].astype(np.float32), np.imag(k)[idx].astype(np.float32)
 
 
+def _imag_lowrank(n, keep_mask_1d):
+    """Exact low-rank factors (U, V) of the imaginary circulant part.
+
+    The reference's band slices are one frequency short of symmetric, so the
+    mask's odd component ``m_o(k) = (m(k) - m(-k)) / 2`` is nonzero at only
+    ~one frequency pair per axis; the imaginary circulant
+    ``B[i,j] = sum_k (2 m_o(k)/n) sin(2 pi k (i-j)/n)`` is therefore rank
+    ``2 |K+|`` (rank 2 for these masks — verified: singular values 1/2).
+    Returns ``U (n, 2r), V (n, 2r)`` float64 with ``B = U @ V.T`` exactly.
+    """
+    m = keep_mask_1d.astype(np.float64)
+    m_o = 0.5 * (m - m[(-np.arange(n)) % n])
+    ks = [k for k in range(1, (n + 1) // 2) if m_o[k] != 0.0]
+    cols_u, cols_v = [], []
+    t = 2 * np.pi * np.arange(n) / n
+    for k in ks:
+        w = 2.0 * m_o[k] / n
+        c, s = np.cos(k * t), np.sin(k * t)
+        cols_u += [w * s, -w * c]
+        cols_v += [c, s]
+    if not cols_u:         # fully symmetric mask: B == 0
+        return np.zeros((n, 0)), np.zeros((n, 0))
+    return np.stack(cols_u, 1), np.stack(cols_v, 1)
+
+
 def fft_lowpass_grey_matmul(img):
     """:func:`fft_lowpass_grey` evaluated as MXU matmuls.
 
@@ -91,14 +116,22 @@ def fft_lowpass_grey_matmul(img):
         mx = np.ones(w, dtype=np.float64)
         mx[: w // 4] = 0.0
         mx[-w // 4:] = 0.0
-        ah, bh = _circulants(h, np.fft.ifftshift(my))
-        aw, bw = _circulants(w, np.fft.ifftshift(mx))
+        ah, _ = _circulants(h, np.fft.ifftshift(my))
+        aw, _ = _circulants(w, np.fft.ifftshift(mx))
+        # The imaginary circulants are exactly rank-2 (one asymmetric
+        # frequency per axis), so the B_h @ X @ B_w^T term collapses to a
+        # (2, h) / (w, 2) sandwich — a rounding-level-exact rewrite that
+        # halves the matmul FLOPs vs materializing B as (h, h) / (w, w).
+        uh, vh = _imag_lowrank(h, np.fft.ifftshift(my))
+        uw, vw = _imag_lowrank(w, np.fft.ifftshift(mx))
         # Cache HOST NumPy arrays only. Caching jnp arrays here leaked
         # trace-local tracers into later jit traces of the same size
         # (UnexpectedTracerError on every second trace); NumPy constants
         # are embedded per-trace by JAX and are always safe.
-        _CIRC_CACHE[key] = (ah, bh, aw, bw)
-    a_h, b_h, a_w, b_w = _CIRC_CACHE[key]
+        _CIRC_CACHE[key] = (ah, aw,
+                           uh.astype(np.float32), vh.astype(np.float32),
+                           uw.astype(np.float32), vw.astype(np.float32))
+    a_h, a_w, u_h, v_h, u_w, v_w = _CIRC_CACHE[key]
     import jax
 
     def dd(a, b, dims):
@@ -108,7 +141,11 @@ def fft_lowpass_grey_matmul(img):
     x = img.astype(DEFAULT_FLOAT)
     left = (((1,), (0,)), ((), ()))
     right = (((1,), (1,)), ((), ()))
-    out = dd(dd(a_h, x, left), a_w, right) - dd(dd(b_h, x, left), b_w, right)
+    out = dd(dd(a_h, x, left), a_w, right)
+    if u_h.size:
+        # B_h X B_w^T = U_h (V_h^T X V_w) U_w^T with a (2, 2) middle
+        mid = dd(dd(v_h.T, x, left), v_w, left)       # (2, 2)
+        out = out - dd(dd(u_h, mid, left), u_w, right)
     return out.astype(DEFAULT_FLOAT)
 
 

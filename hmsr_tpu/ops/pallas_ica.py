@@ -119,12 +119,13 @@ def _pad_moving(moving, pad, rows, mode):
                    mode="edge")
 
 
-# exact bf16x3 selection matmuls (shared with the merge kernel)
-from .pallas_merge import _dot_sel, _sel_dot  # noqa: E402
+# exact bf16x3 selection matmuls (shared with the merge kernel), plus the
+# row-realignment strategy knob (HMSR_REALIGN: "slice" default / "matmul")
+from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows  # noqa: E402
 
 
 def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
-                    stride, Sys, Sxs, VW, XG, ROWS, hps, wps):
+                    stride, Sys, Sxs, VW, XG, ROWS, hps, wps, x_ref=None):
     """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows of
     ``src`` at the SMEM-provided (Sys[t], Sxs[t]): group-DMA fast path with
     CROSS-PROGRAM double buffering + per-tile-DMA fallback.
@@ -192,12 +193,22 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
         cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
         Call = (ci == dxv + (cj % VW)).astype(jnp.float32)
         X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
-        rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
-        for t in range(XG):
-            Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
-            u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
-                Rsel, X[:, t * VW:(t + 1) * VW])
+        # (VW > _GROWS means fit is statically impossible — this branch is
+        # dead then, but it still traces: keep the shape-valid matmul form)
+        if x_ref is not None and VW + 8 <= x_ref.shape[0]:
+            # the row realignment is a PURE shift (no staircase): one
+            # dynamic sublane slice per tile instead of a 0/1 matmul
+            x_ref[:_GROWS] = X
+            for t in range(XG):
+                u_dst[:, t * VW:(t + 1) * VW] = \
+                    _dyn_rows(x_ref, dyl[t], VW, t * VW, VW)
+        else:
+            ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
+            for t in range(XG):
+                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
+                u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
+                    Rsel, X[:, t * VW:(t + 1) * VW])
 
     @pl.when(jnp.logical_not(fit))
     def _():
@@ -237,8 +248,9 @@ def _lane_broadcast(vals, lane_div, L, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def _ica_step_kernel(pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
-                     out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *,
+                     out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *refs,
                      ts, XG, WIN, ROWS, hp, wp):
+    x_ref = refs[0] if refs else None
     jg_ = pl.program_id(1)
     SLAB = XG * WIN
     L = XG * ts
@@ -253,7 +265,7 @@ def _ica_step_kernel(pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
         fys.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
     _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
-                    pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp)
+                    pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp, x_ref=x_ref)
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
@@ -341,7 +353,8 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
             pltpu.VMEM((WIN, XG * WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((XG,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((_GROWS + 8, XG * WIN), jnp.float32)]
+             if _REALIGN == "slice" else []),
     )
     out = pl.pallas_call(
         kernel,
@@ -363,8 +376,9 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _bm_kernel(pi_ref, mov_ref, ref_ref, out_ref,
-               win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *,
+               win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs,
                ts, XG, SWIN, ROWS, hp, wp, metric, rbm):
+    x_ref = refs[0] if refs else None
     jg_ = pl.program_id(1)
     L = XG * ts
     n_sh = 2 * rbm + 1
@@ -378,7 +392,7 @@ def _bm_kernel(pi_ref, mov_ref, ref_ref, out_ref,
         Wxs.append(pi_ref[0, 0, p0 + 1])
 
     _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
-                    pi_ref, 2, Wys, Wxs, SWIN, XG, ROWS, hp, wp)
+                    pi_ref, 2, Wys, Wxs, SWIN, XG, ROWS, hp, wp, x_ref=x_ref)
 
     # zero the candidate-padding rows once (they enter the Seg matmul)
     if NCP > NC:
@@ -509,7 +523,8 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
             pltpu.VMEM((NCP, max(XG * SWIN, 128)), jnp.float32),
             pltpu.SemaphoreType.DMA((XG,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((_GROWS + 8, XG * SWIN), jnp.float32)]
+             if _REALIGN == "slice" else []),
     )
     out = pl.pallas_call(
         kernel,

@@ -125,7 +125,8 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
             pltpu.VMEM((SWIN, XG * SWIN), jnp.float32),       # BM search slab
             pltpu.SemaphoreType.DMA((XG,)),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + ([pltpu.VMEM((_GROWS + 8, XG * max(WIN, SWIN)), jnp.float32)]
+             if _REALIGN == "slice" else []),
     )
 
     out = pl.pallas_call(
@@ -139,19 +140,21 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
     return out.reshape(ny, NTXP, 2)[:, :nx]
 
 
-# exact bf16x3 selection matmuls (shared with the merge kernel)
-from .pallas_merge import _dot_sel, _sel_dot  # noqa: E402
+# exact bf16x3 selection matmuls (shared with the merge kernel), plus the
+# row-realignment strategy knob (HMSR_REALIGN: "slice" default / "matmul")
+from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows  # noqa: E402
 
 
 def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
-                win_ref, gwin_ref, u_ref, ub_ref, sem, sem_g, *,
+                win_ref, gwin_ref, u_ref, ub_ref, sem, sem_g, *refs,
                 ts, XG, WIN, ROWS, PAD, h, w, n_iter, bm, SWIN, hp, wp):
     """One GN iteration for all XG tiles of a program at a time.
 
     Fast path: the XG windows are x-adjacent and post-block-matching flow is
     smooth, so ONE group DMA (``_GROWS x _GCOLS``) usually covers them all;
     per-tile realignment then happens inside VMEM (one column-selection
-    matmul for the whole group + a tiny row-selection matmul per tile).
+    matmul for the whole group + either a dynamic sublane slice per tile —
+    the default, see pallas_merge — or a tiny row-selection matmul).
     When the per-tile windows don't fit the group buffer (wild flow), an
     exact per-tile-DMA fallback fills the same U slab. The bilinear taps /
     Gauss-Newton updates read the slab with full-width VPU ops either way.
@@ -159,6 +162,7 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
     With ``bm=True`` an L1 block-matching prologue (radius 1, reference
     zero-fill + first-min semantics) runs first on the same machinery.
     """
+    x_ref = refs[0] if refs else None
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
     SLAB = XG * WIN
@@ -212,13 +216,23 @@ def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,
             cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
             Call = (ci == dxv + (cj % VW)).astype(jnp.float32)
             X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
-            for t in range(XG):
-                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
-                U = _sel_dot(Rsel, X[:, t * VW:(t + 1) * VW])
-                u_dst[:, t * VW:(t + 1) * VW] = (
-                    U * oks[t] if oks is not None else U)
+            # VW > _GROWS -> fit statically impossible; keep the shape-valid
+            # matmul form for the dead branch
+            if x_ref is not None and VW + 8 <= x_ref.shape[0]:
+                # pure-shift row realignment: dynamic sublane slice per tile
+                x_ref[:_GROWS, :SL] = X
+                for t in range(XG):
+                    U = _dyn_rows(x_ref, dyl[t], VW, t * VW, VW)
+                    u_dst[:, t * VW:(t + 1) * VW] = (
+                        U * oks[t] if oks is not None else U)
+            else:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
+                rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
+                for t in range(XG):
+                    Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
+                    U = _sel_dot(Rsel, X[:, t * VW:(t + 1) * VW])
+                    u_dst[:, t * VW:(t + 1) * VW] = (
+                        U * oks[t] if oks is not None else U)
 
         @pl.when(jnp.logical_not(fit))
         def _():

@@ -35,6 +35,13 @@ _DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
 import os as _os
 _XG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_XG", "2")))
 
+#: row-realignment strategy: "slice" (default) upsamples the column-aligned
+#: slab once (sublane repeat) and takes one DYNAMIC SUBLANE SLICE per tile —
+#: Mosaic allows runtime sublane starts, only the lane dim must be static;
+#: "matmul" keeps the per-tile 0/1 selection matmuls (XG tiny MXU ops per
+#: program x 3 bf16 passes — the previous implementation, kept for A/B).
+_REALIGN = _os.environ.get("HMSR_REALIGN", "slice")
+
 #: group-window width: covers the XG x-adjacent tile windows of a program
 #: plus 128-alignment slack, for every supported (tile_size, scale) pair
 _GCOLS_M = 512
@@ -210,11 +217,17 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     rrx = jnp.asarray(np.kron(np.eye(XG * Ts, dtype=np.float32),
                               np.ones((1, s), np.float32)))
 
+    # The two xup scratch slabs of the slice strategy (~0.7 MB at Ts=64)
+    # push the Ts=64/x2 geometry 28 KB past the 16 MB scoped-VMEM limit
+    # (measured: dark64 bench AOT OOM). Ts=64 runs few, huge programs, so
+    # the per-tile matmul realignment it falls back to is launch-cheap.
+    use_slice = _REALIGN == "slice" and Ts <= 32
     kernel = functools.partial(
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa,
         hpc=comp_pad.shape[0], wpc=comp_pad.shape[1],
-        hpk=cov_pad.shape[1], wpk=cov_pad.shape[2], in_place=in_place)
+        hpk=cov_pad.shape[1], wpk=cov_pad.shape[2], in_place=in_place,
+        use_slice=use_slice)
 
     acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
@@ -241,6 +254,13 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
             pltpu.VMEM((2, 3, ROWS_K + 16, _GCOLS_M), jnp.float32),  # cov x2
             pltpu.VMEM((B + 2 * s, XG * (B + 2 * s)), jnp.float32),   # U slab
             pltpu.VMEM((3, B + 2 * sg, XG * (B + 2 * sg)), jnp.float32),
+        ] + ([
+            # upsampled column-aligned slabs for the dynamic-slice row
+            # realignment (comp; covariance per channel); +8 rows of slack
+            # for the 8-aligned reads of _dyn_rows
+            pltpu.VMEM((s * (ROWS_C + 16) + 8, XG * (B + 2 * s)), jnp.float32),
+            pltpu.VMEM((sg * (ROWS_K + 16) + 8, XG * (B + 2 * sg)), jnp.float32),
+        ] if use_slice else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -267,6 +287,28 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     if in_place:
         return val, acc
     return (num + val[:, :out_h, :out_w], den + acc[:, :out_h, :out_w])
+
+
+def _dyn_rows(src_ref, off, rows, col0, cols):
+    """``src_ref[off:off+rows, col0:col0+cols]`` for an ARBITRARY dynamic
+    row offset.
+
+    Mosaic only lowers dynamic sublane indices it can prove are multiples
+    of 8, so this reads an 8-aligned (rows+8)-row block at ``(off//8)*8``
+    (the ``//8*8`` form is provable) and resolves the sub-8 residual
+    ``r`` by a masked sum over the 8 statically shifted copies
+    ``blk[r0:r0+rows]`` — all-static slices + VPU selects.
+    (``pltpu.roll`` with a dynamic shift would be one op, but its
+    ``tpu.dynamic_rotate`` lowering INTERNAL-errors on non-tile-aligned
+    shapes on this backend, e.g. vector<28x20xf32>.)
+    """
+    off8 = (off // 8) * 8
+    r = off - off8
+    blk = src_ref[pl.ds(off8, rows + 8), col0:col0 + cols]
+    out = jnp.where(r == 0, blk[:rows], 0.0)
+    for r0 in range(1, 8):
+        out = out + jnp.where(r == r0, blk[r0:r0 + rows], 0.0)
+    return out
 
 
 def _selection_rows(n_out, n_in, rem, ph, rep):
@@ -310,7 +352,7 @@ def _dot_sel(x, sel):
 def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         rry, rrx, *refs,
                         s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
-                        n_ch, cfa, hpc, wpc, hpk, wpk, in_place):
+                        n_ch, cfa, hpc, wpc, hpk, wpk, in_place, use_slice):
     """One output row-group of XG tiles.
 
     Window fetches use ONE speculative group DMA per program for the
@@ -321,15 +363,21 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     remaining math (guide-grid bilinear covariance interpolation, 2x2
     inversion, 3x3 kernel-regression taps) runs on (B, XG*B) slabs.
     """
+    refs = list(refs)
     if in_place:
-        (num_ref, den_ref, val_ref, acc_ref,
-         comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
-         sem_c, sem_k, gsem_c, gsem_k) = refs
+        num_ref, den_ref = refs[:2]
+        refs = refs[2:]
     else:
         num_ref = den_ref = None
-        (val_ref, acc_ref,
-         comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab,
-         sem_c, sem_k, gsem_c, gsem_k) = refs
+    (val_ref, acc_ref,
+     comp_win, cov_win, gwin_c, gwin_k, u_slab, cc_slab) = refs[:8]
+    refs = refs[8:]
+    if use_slice:
+        xup_c, xup_k = refs[:2]
+        refs = refs[2:]
+    else:
+        xup_c = xup_k = None
+    sem_c, sem_k, gsem_c, gsem_k = refs
     jg_ = pl.program_id(1)
     half = jnp.float32(0.5)
     sg = s * g
@@ -430,13 +478,24 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
         Call = (ci == dxv + ((cj % SEG) + phv) // s).astype(jnp.float32)
         X = _dot_sel(gwin_c[:], Call)                   # (GR_C, XG*SEG)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
-        rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
-        for t in range(XG):
-            Rsel = (rj == (P["Syp"][t] - gby) +
-                    (ri + P["phy"][t]) // s).astype(jnp.float32)
-            u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
-                Rsel, X[:, t * SEG:(t + 1) * SEG])
+        if xup_c is not None and SEG + 8 <= xup_c.shape[0]:
+            # row realignment via ONE static s-fold sublane repeat + a
+            # dynamic sublane slice per tile: Xup[k] = X[k // s], so
+            # Xup[s*(Syp-gby) + phy + i] == X[(Syp-gby) + (i+phy)//s]
+            # — exact, no per-tile MXU work (lane dim stays static)
+            xup_c[:s * GR_C] = jnp.repeat(X, s, axis=0) if s > 1 else X
+            for t in range(XG):
+                off = (P["Syp"][t] - gby) * s + P["phy"][t]
+                u_slab[:, t * SEG:(t + 1) * SEG] = \
+                    _dyn_rows(xup_c, off, SEG, t * SEG, SEG)
+        else:
+            ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
+            for t in range(XG):
+                Rsel = (rj == (P["Syp"][t] - gby) +
+                        (ri + P["phy"][t]) // s).astype(jnp.float32)
+                u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
+                    Rsel, X[:, t * SEG:(t + 1) * SEG])
 
     @pl.when(jnp.logical_not(fit_c))
     def _():
@@ -478,15 +537,26 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * CSEG), 1)
             Ck = (ci == dxv + ((cj % CSEG) + phv) // sg).astype(jnp.float32)
             Yk = _dot_sel(gwin_k[:].reshape(3 * GR_K, GCOLS), Ck)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 1)
-            for t in range(XG):
-                R2 = (rj == (P["S2yp"][t] - gbyk) +
-                      (ri + P["ph2y"][t]) // sg).astype(jnp.float32)
+            if xup_k is not None and CSEG + 8 <= xup_k.shape[0]:
+                # same repeat+dynamic-sublane-slice rewrite as the comp
+                # path, per covariance channel (bounds the scratch size)
                 for ch in range(3):
-                    cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
-                        R2, Yk[ch * GR_K:(ch + 1) * GR_K,
-                               t * CSEG:(t + 1) * CSEG])
+                    xup_k[:sg * GR_K] = jnp.repeat(
+                        Yk[ch * GR_K:(ch + 1) * GR_K], sg, axis=0)
+                    for t in range(XG):
+                        off = (P["S2yp"][t] - gbyk) * sg + P["ph2y"][t]
+                        cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = \
+                            _dyn_rows(xup_k, off, CSEG, t * CSEG, CSEG)
+            else:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 0)
+                rj = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 1)
+                for t in range(XG):
+                    R2 = (rj == (P["S2yp"][t] - gbyk) +
+                          (ri + P["ph2y"][t]) // sg).astype(jnp.float32)
+                    for ch in range(3):
+                        cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
+                            R2, Yk[ch * GR_K:(ch + 1) * GR_K,
+                                   t * CSEG:(t + 1) * CSEG])
 
         @pl.when(jnp.logical_not(fit_k))
         def _():

@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
-from .pallas_merge import _dot_sel, _sel_dot
+from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows
 
 _DMA_COLS = 256
 
@@ -109,7 +109,8 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
             pltpu.VMEM((c, SEG, XG * SEG), jnp.float32),     # U slab
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((u * (ROWS + 16) + 8, XG * SEG), jnp.float32)]
+             if _REALIGN == "slice" else []),
     )
 
     hr, valid = pl.pallas_call(
@@ -131,8 +132,9 @@ def _dogson(x):
 
 
 def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
-                 win_ref, gwin2_ref, u_slab, sem, gsem, *,
+                 win_ref, gwin2_ref, u_slab, sem, gsem, *refs,
                  u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps):
+    xup_ref = refs[0] if refs else None
     """Group-window rewrite: one speculative DMA covers the XG x-adjacent
     tile windows (per-tile fallback for wild flow); realignment is one
     column-selection matmul for the group + a small row matmul per tile;
@@ -215,14 +217,26 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
         cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
         Cw = (ci == dxv + ((cj % SEG) + phv) // u).astype(jnp.float32)
         Y = _dot_sel(gwin_ref[:].reshape(c * GR, GCOLS), Cw)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 0)
-        rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 1)
-        for t in range(XG):
-            Rsel = (rj == (Syp[t] - gby) +
-                    (ri + phy[t]) // u).astype(jnp.float32)
+        if xup_ref is not None and SEG + 8 <= xup_ref.shape[0]:
+            # row realignment via one static u-fold sublane repeat + a
+            # dynamic sublane slice per (channel, tile) — see pallas_merge
             for ch in range(c):
-                u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
-                    Rsel, Y[ch * GR:(ch + 1) * GR, t * SEG:(t + 1) * SEG])
+                xup_ref[:u * GR] = \
+                    jnp.repeat(Y[ch * GR:(ch + 1) * GR], u, axis=0) \
+                    if u > 1 else Y[ch * GR:(ch + 1) * GR]
+                for t in range(XG):
+                    off = (Syp[t] - gby) * u + phy[t]
+                    u_slab[ch, :, t * SEG:(t + 1) * SEG] = \
+                        _dyn_rows(xup_ref, off, SEG, t * SEG, SEG)
+        else:
+            ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 1)
+            for t in range(XG):
+                Rsel = (rj == (Syp[t] - gby) +
+                        (ri + phy[t]) // u).astype(jnp.float32)
+                for ch in range(c):
+                    u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
+                        Rsel, Y[ch * GR:(ch + 1) * GR, t * SEG:(t + 1) * SEG])
 
     @pl.when(jnp.logical_not(fit))
     def _():
