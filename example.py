@@ -4,7 +4,13 @@ Generates a synthetic raw burst (no DNGs needed), merges a custom config over
 the defaults, runs the pipeline through the public API, and saves the result.
 """
 
+import os
+
 import numpy as np
+
+if os.environ.get("HMSR_FORCE_CPU"):      # same escape hatch as the CLI
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from hmsr_tpu.configs import default_config, merge
 from hmsr_tpu.io.synthetic import make_synthetic_burst, DEFAULT_CFA

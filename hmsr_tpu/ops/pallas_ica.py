@@ -121,46 +121,142 @@ def _pad_moving(moving, pad, rows, mode):
 
 # exact bf16x3 selection matmuls (shared with the merge kernel), plus the
 # row-realignment strategy knob (HMSR_REALIGN: "slice" default / "matmul")
-from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows  # noqa: E402
+# and the vectorized-parameter switch (HMSR_PARAMVEC, see pallas_merge)
+from .pallas_merge import (_dot_sel, _sel_dot, _REALIGN, _dyn_rows,  # noqa: E402
+                           _PARAMVEC)
+
+
+def _pv_group_bases(Sy, Sx, XG, hps, wps, VW, grows=None, gcols=None):
+    """XLA-side twin of the kernel's ``group_base`` + fit test.
+
+    ``Sy``/``Sx``: (ny, NTXP) clipped window corners. Returns the SMEM
+    gvec (ny, 1, nj*4) [gby, gbx, fit, 0] and (gby, gbx) (ny, nj) for
+    building per-tile row offsets / column-source lanes.
+    """
+    grows = _GROWS if grows is None else grows
+    gcols = _GCOLS if gcols is None else gcols
+    ny, NTXP = Sy.shape
+    nj = NTXP // XG
+    sy = Sy.reshape(ny, nj, XG)
+    sx = Sx.reshape(ny, nj, XG)
+    gby = (jnp.clip(jnp.min(sy, 2), 0, hps - grows) // 8) * 8
+    gbx = (jnp.clip(jnp.min(sx, 2), 0, wps - gcols) // 128) * 128
+    fit = ((jnp.max(sy, 2) - gby <= grows - VW) &
+           (jnp.max(sx, 2) - gbx <= gcols - VW)).astype(jnp.int32)
+    z = jnp.zeros_like(gby)
+    gvec = jnp.stack([gby, gbx, fit, z], -1).reshape(ny, 1, nj * 4)
+    return gvec, gby, gbx
+
+
+def _pv_csrc(Sx, gbx, XG, VW, ph=None, rep=1):
+    """Column-source lane row ``(Sx[t] - gbx) + ((l % VW) + ph[t]) // rep``
+    (ny, nj*CW) i32, CW 128-aligned; twin of the kernels'
+    ``dxv + ((cj % VW) + phv) // rep`` (``ph=None``: pure shift)."""
+    ny, NTXP = Sx.shape
+    nj = NTXP // XG
+    CW = -(-(XG * VW) // 128) * 128
+    c = jnp.arange(VW, dtype=jnp.int32)[None, None, None, :]
+    if ph is not None:
+        c = (c + ph.reshape(ny, nj, XG, 1)) // rep
+    v = (Sx.reshape(ny, nj, XG, 1) - gbx[:, :, None, None]) + c
+    v = v.reshape(ny, nj, XG * VW)
+    return jnp.pad(v, ((0, 0), (0, 0), (0, CW - XG * VW))), CW
+
+
+def _pv_pack(Syc, Sxc, XG, hps, wps, VW, lane_div, ny, NTXP, lane_rows):
+    """Build the PARAMVEC operands + specs for a realign-based kernel.
+
+    ``lane_rows``: int32 (ny, NTXP) per-tile values, each broadcast over
+    ``lane_div`` lanes (iv rows 1..; row 0 is the column-source row; f32
+    values enter bitcast to int32 and are bitcast back in the kernel).
+    Returns ([gvec, offs, iv], specs, CW).
+    """
+    gvec, gby, gbx = _pv_group_bases(Syc, Sxc, XG, hps, wps, VW)
+    offs = (Syc - jnp.repeat(gby, XG, axis=1)).reshape(ny, 1, NTXP)
+    csrc, CW = _pv_csrc(Sxc, gbx, XG, VW)
+    nj = NTXP // XG
+    L = XG * lane_div
+    assert L <= CW and len(lane_rows) <= 7
+    rows = [csrc]
+    for v in lane_rows:
+        r = jnp.repeat(v, lane_div, axis=1).reshape(ny, nj, L)
+        rows.append(jnp.pad(r, ((0, 0), (0, 0), (0, CW - L))))
+    rows += [jnp.zeros_like(rows[0])] * (8 - len(rows))
+    iv = jnp.stack(rows, axis=1).reshape(ny, 8, nj * CW)
+    specs = [
+        pl.BlockSpec((1, 1, nj * 4), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, NTXP), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8, CW), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    return [gvec, offs, iv], specs, CW
+
+
+class _PvRealign(NamedTuple):
+    """Precomputed realignment parameters threaded into _kernel_realign."""
+    gvec_ref: object      # SMEM (1, 1, nj*4): gby, gbx, fit per group
+    offs_ref: object      # SMEM (1, 1, NTXP): per-tile row offset Sy - gby
+    csrc_ref: object      # VMEM (1, rows, nj-blocked CW): col-source lanes
+    csrc_row: int = 0     # which csrc row holds this window's lanes
 
 
 def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
-                    stride, Sys, Sxs, VW, XG, ROWS, hps, wps, x_ref=None):
+                    stride, Sys, Sxs, VW, XG, ROWS, hps, wps, x_ref=None,
+                    pv=None, read_sxy=None):
     """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows of
-    ``src`` at the SMEM-provided (Sys[t], Sxs[t]): group-DMA fast path with
-    CROSS-PROGRAM double buffering + per-tile-DMA fallback.
+    ``src`` at (Sys[t], Sxs[t]): group-DMA fast path with CROSS-PROGRAM
+    double buffering + per-tile-DMA fallback.
 
     Program j waits on the group fetch issued by program j-1 (or its own at
     the start of a grid row) and issues j+1's speculative fetch before
     computing — the group DMA latency hides behind the previous program's
     compute. The group base is a pure function of the SMEM params row, so
-    the issuing and consuming programs agree exactly."""
+    the issuing and consuming programs agree exactly.
+
+    With ``pv`` (a :class:`_PvRealign`) the group bases / fit flag / row
+    offsets / column-source lanes come precomputed from XLA (scalar-core
+    SMEM load chains were the per-program bottleneck); ``Sys``/``Sxs`` may
+    then be None and ``read_sxy()`` lazily loads them for the rare
+    per-tile-DMA fallback branch."""
     jg = pl.program_id(1)
     nj = pl.num_programs(1)
 
-    def group_base(jg2):
-        min_y = max_y = pi_ref[0, 0, (jg2 * XG) * stride + 0]
-        min_x = max_x = pi_ref[0, 0, (jg2 * XG) * stride + 1]
-        for t in range(1, XG):
-            p0 = (jg2 * XG + t) * stride
-            min_y = jnp.minimum(min_y, pi_ref[0, 0, p0 + 0])
-            max_y = jnp.maximum(max_y, pi_ref[0, 0, p0 + 0])
-            min_x = jnp.minimum(min_x, pi_ref[0, 0, p0 + 1])
-            max_x = jnp.maximum(max_x, pi_ref[0, 0, p0 + 1])
-        # clip-then-align keeps offsets provably 8/128-divisible for Mosaic
-        gby = (jnp.clip(min_y, 0, hps - _GROWS) // 8) * 8
-        gbx = (jnp.clip(min_x, 0, wps - _GCOLS) // 128) * 128
-        return gby, gbx, max_y, max_x
+    if pv is not None:
+        def group_base(jg2):
+            # values are pre-aligned; //8*8 / //128*128 re-prove alignment
+            # to Mosaic (SMEM loads carry no divisibility facts)
+            return ((pv.gvec_ref[0, 0, jg2 * 4 + 0] // 8) * 8,
+                    (pv.gvec_ref[0, 0, jg2 * 4 + 1] // 128) * 128)
+    else:
+        def group_base(jg2):
+            min_y = max_y = pi_ref[0, 0, (jg2 * XG) * stride + 0]
+            min_x = max_x = pi_ref[0, 0, (jg2 * XG) * stride + 1]
+            for t in range(1, XG):
+                p0 = (jg2 * XG + t) * stride
+                min_y = jnp.minimum(min_y, pi_ref[0, 0, p0 + 0])
+                max_y = jnp.maximum(max_y, pi_ref[0, 0, p0 + 0])
+                min_x = jnp.minimum(min_x, pi_ref[0, 0, p0 + 1])
+                max_x = jnp.maximum(max_x, pi_ref[0, 0, p0 + 1])
+            # clip-then-align keeps offsets provably 8/128-divisible
+            gby = (jnp.clip(min_y, 0, hps - _GROWS) // 8) * 8
+            gbx = (jnp.clip(min_x, 0, wps - _GCOLS) // 128) * 128
+            return gby, gbx, max_y, max_x
 
     def issue(jg2, sl):
-        gby, gbx, _, _ = group_base(jg2)
+        b = group_base(jg2)
         pltpu.make_async_copy(
-            src.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
+            src.at[pl.ds(b[0], _GROWS), pl.ds(b[1], _GCOLS)],
             gwin2_ref.at[sl], gsem2.at[sl]).start()
 
-    gby, gbx, max_y, max_x = group_base(jg)
-    fit = (((max_y - gby) <= _GROWS - VW) &
-           ((max_x - gbx) <= _GCOLS - VW))
+    if pv is not None:
+        gby, gbx = group_base(jg)
+        fit = pv.gvec_ref[0, 0, jg * 4 + 2] > 0
+    else:
+        gby, gbx, max_y, max_x = group_base(jg)
+        fit = (((max_y - gby) <= _GROWS - VW) &
+               ((max_x - gbx) <= _GCOLS - VW))
 
     slot = jax.lax.rem(jg, 2)
 
@@ -183,15 +279,20 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
     @pl.when(fit)
     def _():
         # column realignment of ALL tiles in one selection matmul
-        dxv = jnp.zeros((1, SL), jnp.int32)
-        dyl = []
-        lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
-        for t in range(XG):
-            dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
-            dyl.append(Sys[t] - gby)
+        if pv is not None:
+            csrc = pv.csrc_ref[0, pv.csrc_row:pv.csrc_row + 1, :SL]
+            dyl = [pv.offs_ref[0, 0, jg * XG + t] for t in range(XG)]
+        else:
+            dxv = jnp.zeros((1, SL), jnp.int32)
+            dyl = []
+            lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
+            for t in range(XG):
+                dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
+                dyl.append(Sys[t] - gby)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
+            csrc = dxv + (cj % VW)
         ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 0)
-        cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
-        Call = (ci == dxv + (cj % VW)).astype(jnp.float32)
+        Call = (ci == csrc).astype(jnp.float32)
         X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
         # (VW > _GROWS means fit is statically impossible — this branch is
         # dead then, but it still traces: keep the shape-valid matmul form)
@@ -212,10 +313,12 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
 
     @pl.when(jnp.logical_not(fit))
     def _():
+        Sysl, Sxsl = (read_sxy() if pv is not None and read_sxy is not None
+                      else (Sys, Sxs))
         rys, rxs = [], []
         for t in range(XG):
-            rys.append((Sys[t] // 8) * 8)
-            rxs.append((Sxs[t] // 128) * 128)
+            rys.append((Sysl[t] // 8) * 8)
+            rxs.append((Sxsl[t] // 128) * 128)
             pltpu.make_async_copy(
                 src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
                 win_ref.at[t], sem.at[t]).start()
@@ -227,8 +330,8 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
             pltpu.make_async_copy(
                 src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
                 win_ref.at[t], sem.at[t]).wait()
-            Rsel = (jj == (Sys[t] - rys[t]) + ii).astype(jnp.float32)
-            Csel = (ii2 == (Sxs[t] - rxs[t]) + jj2).astype(jnp.float32)
+            Rsel = (jj == (Sysl[t] - rys[t]) + ii).astype(jnp.float32)
+            Csel = (ii2 == (Sxsl[t] - rxs[t]) + jj2).astype(jnp.float32)
             u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
                 Rsel, _dot_sel(win_ref[t], Csel))
 
@@ -247,25 +350,51 @@ def _lane_broadcast(vals, lane_div, L, dtype=jnp.float32):
 # GN step kernel: realign + bilinear taps + per-tile (b0, b1) reductions.
 # ---------------------------------------------------------------------------
 
-def _ica_step_kernel(pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
-                     out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *refs,
-                     ts, XG, WIN, ROWS, hp, wp):
+def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv):
+    if pv:
+        (pi_ref, gvec_ref, offs_ref, iv_ref,
+         mov_ref, ref_ref, gx_ref, gy_ref,
+         out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *refs) = args
+    else:
+        (pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
+         out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *refs) = args
     x_ref = refs[0] if refs else None
     jg_ = pl.program_id(1)
     SLAB = XG * WIN
     L = XG * ts
 
-    Sys, Sxs, oks, fxs, fys = [], [], [], [], []
-    for t in range(XG):
-        p0 = (jg_ * XG + t) * 4
-        Sys.append(pi_ref[0, 0, p0 + 0])
-        Sxs.append(pi_ref[0, 0, p0 + 1])
-        oks.append(pi_ref[0, 0, p0 + 2])
-        fxs.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 0])
-        fys.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 1])
+    if pv:
+        def read_sxy():
+            return ([pi_ref[0, 0, (jg_ * XG + t) * 4 + 0]
+                     for t in range(XG)],
+                    [pi_ref[0, 0, (jg_ * XG + t) * 4 + 1]
+                     for t in range(XG)])
 
-    _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
-                    pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp, x_ref=x_ref)
+        _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
+                        pi_ref, 4, None, None, WIN, XG, ROWS, hp, wp,
+                        x_ref=x_ref,
+                        pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0),
+                        read_sxy=read_sxy)
+        bits = lambda r: jax.lax.bitcast_convert_type(
+            iv_ref[0, r:r + 1, :L], jnp.float32)
+        fxv, fyv = bits(1), bits(2)
+        okv = iv_ref[0, 3:4, :L].astype(jnp.float32)
+    else:
+        Sys, Sxs, oks, fxs, fys = [], [], [], [], []
+        for t in range(XG):
+            p0 = (jg_ * XG + t) * 4
+            Sys.append(pi_ref[0, 0, p0 + 0])
+            Sxs.append(pi_ref[0, 0, p0 + 1])
+            oks.append(pi_ref[0, 0, p0 + 2])
+            fxs.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 0])
+            fys.append(pf_ref[0, 0, (jg_ * XG + t) * 2 + 1])
+
+        _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
+                        pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp,
+                        x_ref=x_ref)
+        fxv = _lane_broadcast(fxs, ts, L)
+        fyv = _lane_broadcast(fys, ts, L)
+        okv = _lane_broadcast([o.astype(jnp.float32) for o in oks], ts, L)
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
@@ -274,10 +403,6 @@ def _ica_step_kernel(pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
     tsrc = (tj // ts) * WIN + (tj % ts)
     tap0 = (ti == tsrc).astype(jnp.float32)
     tap1 = (ti == tsrc + 1).astype(jnp.float32)
-
-    fxv = _lane_broadcast(fxs, ts, L)
-    fyv = _lane_broadcast(fys, ts, L)
-    okv = _lane_broadcast([o.astype(jnp.float32) for o in oks], ts, L)
 
     Uslab = u_ref[:]
     m00 = _dot_sel(Uslab[:ts], tap0)
@@ -324,17 +449,31 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
     Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
     ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.int32)
     pi = jnp.stack([Syc, Sxc, ok, jnp.zeros_like(ok)], axis=-1)
-    pf = jnp.stack([ax - ix, ay - iy], axis=-1).astype(DEFAULT_FLOAT)
 
     kernel = functools.partial(_ica_step_kernel, ts=ts, XG=XG, WIN=WIN,
-                               ROWS=ROWS, hp=hp, wp=wp)
-    grid_spec = pl.GridSpec(
-        grid=(ny, NTXP // XG),
-        in_specs=[
+                               ROWS=ROWS, hp=hp, wp=wp, pv=_PARAMVEC)
+    if _PARAMVEC:
+        fx = (ax - ix).astype(DEFAULT_FLOAT)
+        fy = (ay - iy).astype(DEFAULT_FLOAT)
+        pvo, pvs, CW = _pv_pack(Syc, Sxc, XG, hp, wp, WIN, ts, ny, NTXP,
+                                [jax.lax.bitcast_convert_type(fx, jnp.int32),
+                                 jax.lax.bitcast_convert_type(fy, jnp.int32),
+                                 ok])
+        head_ops = [pi.reshape(ny, 1, NTXP * 4)] + pvo
+        head_specs = [pl.BlockSpec((1, 1, NTXP * 4), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)] + pvs
+    else:
+        pf = jnp.stack([ax - ix, ay - iy], axis=-1).astype(DEFAULT_FLOAT)
+        head_ops = [pi.reshape(ny, 1, NTXP * 4), pf.reshape(ny, 1, NTXP * 2)]
+        head_specs = [
             pl.BlockSpec((1, 1, NTXP * 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+        ]
+    grid_spec = pl.GridSpec(
+        grid=(ny, NTXP // XG),
+        in_specs=head_specs + [
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -362,8 +501,7 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((ny * 8, (NTXP // XG) * 128),
                                         jnp.float32),),
         interpret=interpret,
-    )(pi.reshape(ny, 1, NTXP * 4), pf.reshape(ny, 1, NTXP * 2),
-      mov_pad, prep.ref_c, prep.gx, prep.gy)[0]
+    )(*head_ops, mov_pad, prep.ref_c, prep.gx, prep.gy)[0]
 
     out = out.reshape(ny, 8, NTXP // XG, 128)
     b0 = out[:, 0, :, :XG].reshape(ny, NTXP)
@@ -375,9 +513,13 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
 # Block-matching kernel: realign search slab + vectorized candidate argmin.
 # ---------------------------------------------------------------------------
 
-def _bm_kernel(pi_ref, mov_ref, ref_ref, out_ref,
-               win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs,
-               ts, XG, SWIN, ROWS, hp, wp, metric, rbm):
+def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv):
+    if pv:
+        (pi_ref, gvec_ref, offs_ref, iv_ref, mov_ref, ref_ref, out_ref,
+         win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs) = args
+    else:
+        (pi_ref, mov_ref, ref_ref, out_ref,
+         win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs) = args
     x_ref = refs[0] if refs else None
     jg_ = pl.program_id(1)
     L = XG * ts
@@ -385,14 +527,28 @@ def _bm_kernel(pi_ref, mov_ref, ref_ref, out_ref,
     NC = n_sh * n_sh
     NCP = eacc_ref.shape[0]
 
-    Wys, Wxs = [], []
-    for t in range(XG):
-        p0 = (jg_ * XG + t) * 2
-        Wys.append(pi_ref[0, 0, p0 + 0])
-        Wxs.append(pi_ref[0, 0, p0 + 1])
+    if pv:
+        def read_sxy():
+            return ([pi_ref[0, 0, (jg_ * XG + t) * 2 + 0]
+                     for t in range(XG)],
+                    [pi_ref[0, 0, (jg_ * XG + t) * 2 + 1]
+                     for t in range(XG)])
 
-    _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
-                    pi_ref, 2, Wys, Wxs, SWIN, XG, ROWS, hp, wp, x_ref=x_ref)
+        _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
+                        pi_ref, 2, None, None, SWIN, XG, ROWS, hp, wp,
+                        x_ref=x_ref,
+                        pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0),
+                        read_sxy=read_sxy)
+    else:
+        Wys, Wxs = [], []
+        for t in range(XG):
+            p0 = (jg_ * XG + t) * 2
+            Wys.append(pi_ref[0, 0, p0 + 0])
+            Wxs.append(pi_ref[0, 0, p0 + 1])
+
+        _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
+                        pi_ref, 2, Wys, Wxs, SWIN, XG, ROWS, hp, wp,
+                        x_ref=x_ref)
 
     # zero the candidate-padding rows once (they enter the Seg matmul)
     if NCP > NC:
@@ -502,12 +658,17 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
 
     kernel = functools.partial(_bm_kernel, ts=ts, XG=XG, SWIN=SWIN,
                                ROWS=ROWS, hp=hp, wp=wp, metric=metric,
-                               rbm=rbm)
+                               rbm=rbm, pv=_PARAMVEC)
+    head_ops = [pi.reshape(ny, 1, NTXP * 2)]
+    head_specs = [pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.SMEM)]
+    if _PARAMVEC:
+        pvo, pvs, _ = _pv_pack(Wyc, Wxc, XG, hp, wp, SWIN, ts, ny, NTXP, [])
+        head_ops += pvo
+        head_specs += pvs
     grid_spec = pl.GridSpec(
         grid=(ny, NTXP // XG),
-        in_specs=[
-            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+        in_specs=head_specs + [
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -532,7 +693,7 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
         out_shape=(jax.ShapeDtypeStruct((ny * 8, (NTXP // XG) * 128),
                                         jnp.float32),),
         interpret=interpret,
-    )(pi.reshape(ny, 1, NTXP * 2), mov_pad, prep.ref_c)[0]
+    )(*head_ops, mov_pad, prep.ref_c)[0]
 
     out = out.reshape(ny, 8, NTXP // XG, 128)
     dx = out[:, 0, :, :XG].reshape(ny, NTXP)

@@ -46,6 +46,14 @@ _REALIGN = _os.environ.get("HMSR_REALIGN", "slice")
 #: plus 128-alignment slack, for every supported (tile_size, scale) pair
 _GCOLS_M = 512
 
+#: vectorized parameter planes (default ON; HMSR_PARAMVEC=0 reverts): every
+#: per-tile quantity the slab phase needs is precomputed on the XLA side as
+#: (8, XG*B) lane planes + per-GROUP DMA bases, so the kernel's scalar core
+#: reads ~45 SMEM words per program instead of ~290 (the 14 x XG scalar
+#: loads + XG-deep min/max chains dominated the per-program fixed cost:
+#: measured ~2.5 us/program via the Ts=16 vs Ts=32 bench delta).
+_PARAMVEC = _os.environ.get("HMSR_PARAMVEC", "1") != "0"
+
 
 def _dma_rows(win):
     """Rows of the aligned DMA block covering a win-row window + 8-alignment."""
@@ -88,6 +96,113 @@ def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
                         Sy + 1, Sx + 1, S2y + 1, S2x + 1, ok,
                         jnp.broadcast_to(ty * B, ok.shape)], axis=-1)
     return params
+
+
+def _group_bases(params, XG, GR_C, GCOLS, hpc, wpc, WIN,
+                 GR_K, hpk, wpk, CWIN, iso):
+    """Per-(row, group) speculative DMA bases + fit flags, precomputed.
+
+    Mirrors the kernel's ``bounds()`` / ``fit`` logic exactly (min/max of the
+    XG tile window corners, clipped and 8/128-aligned). Layout: (nb, 1, nj*8)
+    int32 rows of [gby_c, gbx_c, gbyk, gbxk, fit_c, fit_k, 0, 0] per group.
+    """
+    nb, NTXP, _ = params.shape
+    nj = NTXP // XG
+    p = params.reshape(nb, nj, XG, params.shape[-1])
+
+    def base(vals, lim, align, gr):
+        mn = jnp.min(vals, axis=2)
+        return (jnp.clip(mn, 0, lim - gr) // align) * align, \
+            jnp.max(vals, axis=2)
+
+    gby, mxy = base(p[..., 0], hpc, 8, GR_C)
+    gbx, mxx = base(p[..., 1], wpc, 128, GCOLS)
+    fit_c = ((mxy - gby <= GR_C - WIN) &
+             (mxx - gbx <= GCOLS - WIN)).astype(jnp.int32)
+    if iso:
+        gbyk = gbxk = fit_k = jnp.zeros_like(gby)
+    else:
+        gbyk, mxyk = base(p[..., 4], hpk, 8, GR_K)
+        gbxk, mxxk = base(p[..., 5], wpk, 128, GCOLS)
+        fit_k = ((mxyk - gbyk <= GR_K - CWIN) &
+                 (mxxk - gbxk <= GCOLS - CWIN)).astype(jnp.int32)
+    z = jnp.zeros_like(gby)
+    g8 = jnp.stack([gby, gbx, gbyk, gbxk, fit_c, fit_k, z, z], axis=-1)
+    return g8.reshape(nb, 1, nj * 8), (gby, gbx), (gbyk, gbxk)
+
+
+def _csrc_planes(params, XG, SEG, CSEG, s, sg, gbx, gbxk, iso):
+    """Column-source index lane planes for the group realignment.
+
+    Row 0: ``csrc_c[l] = (Sxp[t] - gbx) + (c + phx[t]) // s`` with
+    ``t = l // SEG``, ``c = l % SEG`` (exactly the kernel's previous
+    ``dxv + ((cj % SEG) + phv) // s``); row 1: the covariance twin over
+    CSEG/sg. (nb, 8, nj * CW) int32, CW 128-aligned.
+    """
+    nb, NTXP, _ = params.shape
+    nj = NTXP // XG
+    CW = -(-max(XG * SEG, XG * CSEG) // 128) * 128
+
+    def one(kS, kph, seg, rep, gb):
+        c = jnp.arange(seg, dtype=jnp.int32)[None, None, None, :]
+        S = params[:, :, kS].reshape(nb, nj, XG, 1)
+        ph = params[:, :, kph].reshape(nb, nj, XG, 1)
+        v = (S - gb[:, :, None, None]) + (c + ph) // rep
+        v = v.reshape(nb, nj, XG * seg)
+        return jnp.pad(v, ((0, 0), (0, 0), (0, CW - XG * seg)))
+
+    rows = [one(1, 3, SEG, s, gbx)]
+    rows.append(jnp.zeros_like(rows[0]) if iso
+                else one(5, 7, CSEG, sg, gbxk))
+    rows += [jnp.zeros_like(rows[0])] * 6
+    return jnp.stack(rows, axis=1).reshape(nb, 8, nj * CW), CW
+
+
+def _lane_planes(params, flow_t, s, g, B, H, W, iso):
+    """Per-lane (HR column) parameter planes, precomputed on the XLA side.
+
+    Every formula matches the kernel's previous in-kernel scalar/lanevec
+    computation bit-for-bit (same f32 ops, same int arithmetic) — this is a
+    pure restructuring so the kernel's scalar core stops being the
+    bottleneck. Returns (iv (nb, 8, NTXP*B) int32, fv (nb, 8, NTXP*B) f32):
+
+    iv rows: 0 Sy1, 1 phy, 2 center_j, 3 S2y1, 4 ph2y
+    fv rows: 0 fy, 1 lr_mov_x, 2 frac_x, 3 xok (x-in-bounds & tile-ok)
+    """
+    nb, NTXP, _ = params.shape
+    half = jnp.float32(0.5)
+    sg = s * g
+    b = jnp.arange(B, dtype=jnp.int32)[None, None, :]        # lane in tile
+
+    def tile(k):
+        return params[:, :, k][..., None]                    # (nb, NTXP, 1)
+
+    Sy1, Sx1, S2y1, S2x1 = tile(8), tile(9), tile(10), tile(11)
+    phy, phx, ph2y, ph2x = tile(2), tile(3), tile(6), tile(7)
+    ok = tile(12)
+    center_j = Sx1 + (b + phx) // s                          # (nb, NTXP, B)
+    tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :, None]
+    Ccol = (tx * B + b).astype(DEFAULT_FLOAT)
+    fx = flow_t[:, :, 0][..., None]
+    fy = flow_t[:, :, 1][..., None]
+    lr_mov_x = (Ccol + half) / s + fx
+    xok = ((lr_mov_x >= 0) & (lr_mov_x < W) & (ok > 0)).astype(jnp.float32)
+    if iso:
+        frac_x = jnp.zeros_like(lr_mov_x)
+    else:
+        kfloor_x = S2x1 + (b + ph2x) // sg
+        frac_x = lr_mov_x / g - half - kfloor_x.astype(jnp.float32)
+
+    def plane(rows, dtype):
+        rows = [jnp.broadcast_to(r, (nb, NTXP, B)).astype(dtype)
+                for r in rows]
+        rows += [jnp.zeros((nb, NTXP, B), dtype)] * (8 - len(rows))
+        return jnp.stack(rows, axis=1).reshape(nb, 8, NTXP * B)
+
+    iv = plane([Sy1, phy, center_j, S2y1, ph2y], jnp.int32)
+    fv = plane([jnp.broadcast_to(fy, (nb, NTXP, B)), lr_mov_x, frac_x, xok],
+               jnp.float32)
+    return iv, fv
 
 
 def padded_accum_shape(config, in_shape, n_ch=None):
@@ -212,6 +327,21 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     params_flat = params.reshape(nb, 1, NTXP * 14)
     flow_f = flow_t.reshape(nb, 1, NTXP * 2)
 
+    if _PARAMVEC:
+        gvec, (gby_a, gbx_a), (gbyk_a, gbxk_a) = _group_bases(
+            params, XG, _dma_rows(WIN) + 16, _GCOLS_M,
+            comp_pad.shape[0], comp_pad.shape[1], WIN,
+            _dma_rows(CWIN) + 16, cov_pad.shape[1], cov_pad.shape[2], CWIN,
+            iso)
+        rep = lambda a: jnp.repeat(a, XG, axis=1)            # (nb, NTXP)
+        off_c = (params[:, :, 0] - rep(gby_a)) * s + params[:, :, 2]
+        off_k = (params[:, :, 4] - rep(gbyk_a)) * sg + params[:, :, 6] \
+            if not iso else jnp.zeros_like(off_c)
+        offs = jnp.stack([off_c, off_k], axis=-1).reshape(nb, 1, NTXP * 2)
+        iv, fv = _lane_planes(params, flow_t, s, g, B, H, W, iso)
+        cv, CW = _csrc_planes(params, XG, B + 2 * s, B + 2 * sg, s, sg,
+                              gbx_a, gbxk_a, iso)
+
     rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
                               np.ones((s, 1), np.float32)))
     rrx = jnp.asarray(np.kron(np.eye(XG * Ts, dtype=np.float32),
@@ -227,10 +357,22 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa,
         hpc=comp_pad.shape[0], wpc=comp_pad.shape[1],
         hpk=cov_pad.shape[1], wpk=cov_pad.shape[2], in_place=in_place,
-        use_slice=use_slice)
+        use_slice=use_slice, pv=_PARAMVEC)
 
     acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
+    pv_specs = [
+        pl.BlockSpec((1, 1, (NTXP // XG) * 8), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),       # group bases + fits
+        pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),       # per-tile slice offsets
+        pl.BlockSpec((1, 8, XG * B), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),       # int lane planes
+        pl.BlockSpec((1, 8, XG * B), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),       # f32 lane planes
+        pl.BlockSpec((1, 8, CW), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),       # column-source planes
+    ] if _PARAMVEC else []
     grid_spec = pl.GridSpec(
         grid=(nb, NTXP // XG),
         in_specs=[
@@ -245,7 +387,7 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
                          memory_space=pltpu.VMEM),   # r tile group
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rry
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rrx
-        ] + ([acc_spec, acc_spec] if in_place else []),
+        ] + pv_specs + ([acc_spec, acc_spec] if in_place else []),
         out_specs=[acc_spec, acc_spec],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),   # tile fallback
@@ -269,6 +411,9 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     )
 
     operands = [params_flat, flow_f, comp_pad, cov_pad, r_pad, rry, rrx]
+    if _PARAMVEC:
+        operands += [gvec, offs, iv, fv, cv]
+    n_in = len(operands)
     if in_place:
         operands += [num, den]
     # under shard_map the outputs inherit num's varying mesh axes (vma);
@@ -280,7 +425,7 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         kernel,
         grid_spec=grid_spec,
         out_shape=(out_struct, out_struct),
-        input_output_aliases={7: 0, 8: 1} if in_place else {},
+        input_output_aliases={n_in: 0, n_in + 1: 1} if in_place else {},
         interpret=interpret,
     )(*operands)
 
@@ -352,7 +497,8 @@ def _dot_sel(x, sel):
 def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         rry, rrx, *refs,
                         s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
-                        n_ch, cfa, hpc, wpc, hpk, wpk, in_place, use_slice):
+                        n_ch, cfa, hpc, wpc, hpk, wpk, in_place, use_slice,
+                        pv=False):
     """One output row-group of XG tiles.
 
     Window fetches use ONE speculative group DMA per program for the
@@ -364,6 +510,11 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     inversion, 3x3 kernel-regression taps) runs on (B, XG*B) slabs.
     """
     refs = list(refs)
+    if pv:
+        gvec_ref, offs_ref, iv_ref, fv_ref, cv_ref = refs[:5]
+        refs = refs[5:]
+    else:
+        gvec_ref = offs_ref = iv_ref = fv_ref = cv_ref = None
     if in_place:
         num_ref, den_ref = refs[:2]
         refs = refs[2:]
@@ -389,17 +540,28 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     ROWS_C = comp_win.shape[1]
     ROWS_K = cov_win.shape[2]
 
-    # ---- per-tile scalars
+    # ---- per-tile scalars. With pv the slab phase reads precomputed lane
+    # planes / group bases instead, so P is materialized LAZILY (scalar SMEM
+    # loads only happen in the branches that still need them: the per-tile
+    # DMA fallbacks and the Ts=64 matmul realignment).
     names = ["Syp", "Sxp", "phy", "phx", "S2yp", "S2xp", "ph2y", "ph2x",
              "Sy1", "Sx1", "S2y1", "S2x1", "okl"]
-    P = {n: [] for n in names}
-    fxl, fyl = [], []
-    for t in range(XG):
-        p0 = (jg_ * XG + t) * 14
-        for k, n in enumerate(names):
-            P[n].append(params_ref[0, 0, p0 + k])
-        fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
-        fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
+
+    def read_P():
+        P = {n: [] for n in names}
+        for t in range(XG):
+            p0 = (jg_ * XG + t) * 14
+            for k, n in enumerate(names):
+                P[n].append(params_ref[0, 0, p0 + k])
+        return P
+
+    P = None   # bound so nested closures' free-var cells always exist
+    if not pv:
+        P = read_P()
+        fxl, fyl = [], []
+        for t in range(XG):
+            fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
+            fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
     def bounds(ys, xs, GR, hp, wp):
         mny = mxy = ys[0]
@@ -423,35 +585,60 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     # program j waits on the fetches issued by program j-1 (or its own at
     # the start of a grid row) and issues j+1's before computing — the DMA
     # latency hides behind the previous program's compute. Bases are pure
-    # functions of the SMEM params row, so issuer and consumer agree.
+    # functions of the SMEM params/gvec row, so issuer and consumer agree.
     nj = pl.num_programs(1)
 
-    def bases_of(jg2):
-        ys = [params_ref[0, 0, (jg2 * XG + t) * 14 + 0] for t in range(XG)]
-        xs = [params_ref[0, 0, (jg2 * XG + t) * 14 + 1] for t in range(XG)]
-        c = bounds(ys, xs, GR_C, hpc, wpc)
-        if iso:
-            return c, None
-        ys2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 4] for t in range(XG)]
-        xs2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 5] for t in range(XG)]
-        return c, bounds(ys2, xs2, GR_K, hpk, wpk)
+    if pv:
+        def bases_of(jg2):
+            # values are pre-aligned; the //8*8 / //128*128 forms re-prove
+            # the alignment to Mosaic (SMEM loads carry no divisibility)
+            b0 = jg2 * 8
+            c = ((gvec_ref[0, 0, b0 + 0] // 8) * 8,
+                 (gvec_ref[0, 0, b0 + 1] // 128) * 128)
+            if iso:
+                return c, None
+            return c, ((gvec_ref[0, 0, b0 + 2] // 8) * 8,
+                       (gvec_ref[0, 0, b0 + 3] // 128) * 128)
+    else:
+        def bases_of(jg2):
+            ys = [params_ref[0, 0, (jg2 * XG + t) * 14 + 0]
+                  for t in range(XG)]
+            xs = [params_ref[0, 0, (jg2 * XG + t) * 14 + 1]
+                  for t in range(XG)]
+            gby, gbx, mxy, mxx = bounds(ys, xs, GR_C, hpc, wpc)
+            fc = ((mxy - gby) <= GR_C - WIN) & ((mxx - gbx) <= GCOLS - WIN)
+            if iso:
+                return (gby, gbx, fc), None
+            ys2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 4]
+                   for t in range(XG)]
+            xs2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 5]
+                   for t in range(XG)]
+            gbyk, gbxk, mxyk, mxxk = bounds(ys2, xs2, GR_K, hpk, wpk)
+            fk = ((mxyk - gbyk) <= GR_K - CWIN) & \
+                 ((mxxk - gbxk) <= GCOLS - CWIN)
+            return (gby, gbx, fc), (gbyk, gbxk, fk)
 
     def issue(jg2, sl):
-        (gby2, gbx2, _, _), kk = bases_of(jg2)
+        c, kk = bases_of(jg2)
         pltpu.make_async_copy(
-            comp_ref.at[pl.ds(gby2, GR_C), pl.ds(gbx2, GCOLS)],
+            comp_ref.at[pl.ds(c[0], GR_C), pl.ds(c[1], GCOLS)],
             gwin_c.at[sl], gsem_c.at[sl]).start()
         if not iso:
-            gbyk2, gbxk2, _, _ = kk
             pltpu.make_async_copy(
-                cov_ref.at[:, pl.ds(gbyk2, GR_K), pl.ds(gbxk2, GCOLS)],
+                cov_ref.at[:, pl.ds(kk[0], GR_K), pl.ds(kk[1], GCOLS)],
                 gwin_k.at[sl], gsem_k.at[sl]).start()
 
-    (gby, gbx, mxy, mxx), kk = bases_of(jg_)
-    fit_c = ((mxy - gby) <= GR_C - WIN) & ((mxx - gbx) <= GCOLS - WIN)
-    if not iso:
-        gbyk, gbxk, mxyk, mxxk = kk
-        fit_k = ((mxyk - gbyk) <= GR_K - CWIN) & ((mxxk - gbxk) <= GCOLS - CWIN)
+    c, kk = bases_of(jg_)
+    if pv:
+        gby, gbx = c
+        fit_c = gvec_ref[0, 0, jg_ * 8 + 4] > 0
+        if not iso:
+            gbyk, gbxk = kk
+            fit_k = gvec_ref[0, 0, jg_ * 8 + 5] > 0
+    else:
+        gby, gbx, fit_c = c
+        if not iso:
+            gbyk, gbxk, fit_k = kk
 
     slot = jax.lax.rem(jg_, 2)
 
@@ -471,12 +658,16 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     # ---- comp realignment/upsampling into the U slab
     @pl.when(fit_c)
     def _():
-        lC = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
-        dxv = lanevec([P["Sxp"][t] - gbx for t in range(XG)], lC)
-        phv = lanevec(P["phx"], lC)
         ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 0)
-        cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
-        Call = (ci == dxv + ((cj % SEG) + phv) // s).astype(jnp.float32)
+        if pv:
+            csrc = cv_ref[0, 0:1, :XG * SEG]
+        else:
+            lC = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
+            dxv = lanevec([P["Sxp"][t] - gbx for t in range(XG)], lC)
+            phv = lanevec(P["phx"], lC)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
+            csrc = dxv + ((cj % SEG) + phv) // s
+        Call = (ci == csrc).astype(jnp.float32)
         X = _dot_sel(gwin_c[:], Call)                   # (GR_C, XG*SEG)
         if xup_c is not None and SEG + 8 <= xup_c.shape[0]:
             # row realignment via ONE static s-fold sublane repeat + a
@@ -485,22 +676,25 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             # — exact, no per-tile MXU work (lane dim stays static)
             xup_c[:s * GR_C] = jnp.repeat(X, s, axis=0) if s > 1 else X
             for t in range(XG):
-                off = (P["Syp"][t] - gby) * s + P["phy"][t]
+                off = offs_ref[0, 0, (jg_ * XG + t) * 2] if pv else \
+                    (P["Syp"][t] - gby) * s + P["phy"][t]
                 u_slab[:, t * SEG:(t + 1) * SEG] = \
                     _dyn_rows(xup_c, off, SEG, t * SEG, SEG)
         else:
+            Pl = read_P() if pv else P
             ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
             rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
             for t in range(XG):
-                Rsel = (rj == (P["Syp"][t] - gby) +
-                        (ri + P["phy"][t]) // s).astype(jnp.float32)
+                Rsel = (rj == (Pl["Syp"][t] - gby) +
+                        (ri + Pl["phy"][t]) // s).astype(jnp.float32)
                 u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
                     Rsel, X[:, t * SEG:(t + 1) * SEG])
 
     @pl.when(jnp.logical_not(fit_c))
     def _():
-        rys = [(P["Syp"][t] // 8) * 8 for t in range(XG)]
-        rxs = [(P["Sxp"][t] // 128) * 128 for t in range(XG)]
+        Pl = read_P() if pv else P
+        rys = [(Pl["Syp"][t] // 8) * 8 for t in range(XG)]
+        rxs = [(Pl["Sxp"][t] // 128) * 128 for t in range(XG)]
 
         def start(t):
             pltpu.make_async_copy(
@@ -514,10 +708,10 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             pltpu.make_async_copy(
                 comp_ref.at[pl.ds(rys[t], ROWS_C), pl.ds(rxs[t], _DMA_COLS)],
                 comp_win.at[t % 2], sem_c.at[t % 2]).wait()
-            Rsel = _selection_rows(SEG, ROWS_C, P["Syp"][t] - rys[t],
-                                   P["phy"][t], s)
-            Csel = _selection_rows(SEG, _DMA_COLS, P["Sxp"][t] - rxs[t],
-                                   P["phx"][t], s).T
+            Rsel = _selection_rows(SEG, ROWS_C, Pl["Syp"][t] - rys[t],
+                                   Pl["phy"][t], s)
+            Csel = _selection_rows(SEG, _DMA_COLS, Pl["Sxp"][t] - rxs[t],
+                                   Pl["phx"][t], s).T
             u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
                 Rsel, _dot_sel(comp_win[t % 2], Csel))
 
@@ -530,12 +724,18 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
         @pl.when(fit_k)
         def _():
-            lK = jax.lax.broadcasted_iota(jnp.int32, (1, XG * CSEG), 1) // CSEG
-            dxv = lanevec([P["S2xp"][t] - gbxk for t in range(XG)], lK)
-            phv = lanevec(P["ph2x"], lK)
             ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * CSEG), 0)
-            cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * CSEG), 1)
-            Ck = (ci == dxv + ((cj % CSEG) + phv) // sg).astype(jnp.float32)
+            if pv:
+                ck = cv_ref[0, 1:2, :XG * CSEG]
+            else:
+                lK = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, XG * CSEG), 1) // CSEG
+                dxv = lanevec([P["S2xp"][t] - gbxk for t in range(XG)], lK)
+                phv = lanevec(P["ph2x"], lK)
+                cj = jax.lax.broadcasted_iota(
+                    jnp.int32, (GCOLS, XG * CSEG), 1)
+                ck = dxv + ((cj % CSEG) + phv) // sg
+            Ck = (ci == ck).astype(jnp.float32)
             Yk = _dot_sel(gwin_k[:].reshape(3 * GR_K, GCOLS), Ck)
             if xup_k is not None and CSEG + 8 <= xup_k.shape[0]:
                 # same repeat+dynamic-sublane-slice rewrite as the comp
@@ -544,15 +744,17 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                     xup_k[:sg * GR_K] = jnp.repeat(
                         Yk[ch * GR_K:(ch + 1) * GR_K], sg, axis=0)
                     for t in range(XG):
-                        off = (P["S2yp"][t] - gbyk) * sg + P["ph2y"][t]
+                        off = offs_ref[0, 0, (jg_ * XG + t) * 2 + 1] if pv \
+                            else (P["S2yp"][t] - gbyk) * sg + P["ph2y"][t]
                         cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = \
                             _dyn_rows(xup_k, off, CSEG, t * CSEG, CSEG)
             else:
+                Pl = read_P() if pv else P
                 ri = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 0)
                 rj = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 1)
                 for t in range(XG):
-                    R2 = (rj == (P["S2yp"][t] - gbyk) +
-                          (ri + P["ph2y"][t]) // sg).astype(jnp.float32)
+                    R2 = (rj == (Pl["S2yp"][t] - gbyk) +
+                          (ri + Pl["ph2y"][t]) // sg).astype(jnp.float32)
                     for ch in range(3):
                         cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
                             R2, Yk[ch * GR_K:(ch + 1) * GR_K,
@@ -560,8 +762,9 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
         @pl.when(jnp.logical_not(fit_k))
         def _():
-            rys = [(P["S2yp"][t] // 8) * 8 for t in range(XG)]
-            rxs = [(P["S2xp"][t] // 128) * 128 for t in range(XG)]
+            Pl = read_P() if pv else P
+            rys = [(Pl["S2yp"][t] // 8) * 8 for t in range(XG)]
+            rxs = [(Pl["S2xp"][t] // 128) * 128 for t in range(XG)]
 
             def start(t):
                 pltpu.make_async_copy(
@@ -577,10 +780,10 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                     cov_ref.at[:, pl.ds(rys[t], ROWS_K),
                                pl.ds(rxs[t], _DMA_COLS)],
                     cov_win.at[t % 2], sem_k.at[t % 2]).wait()
-                R2 = _selection_rows(CSEG, ROWS_K, P["S2yp"][t] - rys[t],
-                                     P["ph2y"][t], sg)
-                C2 = _selection_rows(CSEG, _DMA_COLS, P["S2xp"][t] - rxs[t],
-                                     P["ph2x"][t], sg).T
+                R2 = _selection_rows(CSEG, ROWS_K, Pl["S2yp"][t] - rys[t],
+                                     Pl["ph2y"][t], sg)
+                C2 = _selection_rows(CSEG, _DMA_COLS, Pl["S2xp"][t] - rxs[t],
+                                     Pl["ph2x"][t], sg).T
                 Y2 = _dot_sel(cov_win[t % 2].reshape(3 * ROWS_K, _DMA_COLS),
                               C2)
                 for ch in range(3):
@@ -599,24 +802,37 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             out = out + vals[t] * (lb == t).astype(jnp.float32)
         return out
 
-    Sy1v = lanevec(P["Sy1"], lb)
-    Sx1v = lanevec(P["Sx1"], lb)
-    phyv = lanevec(P["phy"], lb)
-    phxv = lanevec(P["phx"], lb)
-    okv = lanevec(P["okl"], lb)
-    fxv = lanef(fxl)
-    fyv = lanef(fyl)
+    if pv:
+        # all per-tile lane quantities precomputed on the XLA side (the
+        # scalar-core SMEM load chains were the per-program bottleneck)
+        Sy1v = iv_ref[0, 0:1, :]
+        phyv = iv_ref[0, 1:2, :]
+        center_j = iv_ref[0, 2:3, :]
+        fyv = fv_ref[0, 0:1, :]
+    else:
+        Sy1v = lanevec(P["Sy1"], lb)
+        Sx1v = lanevec(P["Sx1"], lb)
+        phyv = lanevec(P["phy"], lb)
+        phxv = lanevec(P["phx"], lb)
+        okv = lanevec(P["okl"], lb)
+        fxv = lanef(fxl)
+        fyv = lanef(fyl)
+        center_j = Sx1v + (c_mod + phxv) // s           # (1, XG*B)
 
     center_i = Sy1v + (r_loc + phyv) // s               # (B, XG*B)
-    center_j = Sx1v + (c_mod + phxv) // s               # (1, XG*B)
     # absolute HR row base from SMEM (params slot 13, == ty*B) — NOT
     # program_id, so a row band can run at any global offset (sharded path)
     Rrow = (params_ref[0, 0, (jg_ * XG) * 14 + 13] + r_loc).astype(jnp.float32)
-    Ccol = (jg_ * (XG * B) + lane).astype(jnp.float32)
     lr_mov_y = (Rrow + half) / s + fyv
-    lr_mov_x = (Ccol + half) / s + fxv
-    inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
-                  (lr_mov_x >= 0) & (lr_mov_x < W) & (okv > 0))
+    if pv:
+        lr_mov_x = fv_ref[0, 1:2, :]
+        inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                      (fv_ref[0, 3:4, :] > 0))
+    else:
+        Ccol = (jg_ * (XG * B) + lane).astype(jnp.float32)
+        lr_mov_x = (Ccol + half) / s + fxv
+        inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                      (lr_mov_x >= 0) & (lr_mov_x < W) & (okv > 0))
 
     local_r = _sel_dot(rry[:], _dot_sel(r_ref[:], rrx[:]))
     wr = jnp.where(inb_center, local_r, 0.0)
@@ -633,14 +849,19 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                  for t in range(XG)], axis=-1)
 
     if not iso:
-        S2y1v = lanevec(P["S2y1"], lb)
-        S2x1v = lanevec(P["S2x1"], lb)
-        ph2yv = lanevec(P["ph2y"], lb)
-        ph2xv = lanevec(P["ph2x"], lb)
+        if pv:
+            S2y1v = iv_ref[0, 3:4, :]
+            ph2yv = iv_ref[0, 4:5, :]
+            frac_x = fv_ref[0, 2:3, :]
+        else:
+            S2y1v = lanevec(P["S2y1"], lb)
+            S2x1v = lanevec(P["S2x1"], lb)
+            ph2yv = lanevec(P["ph2y"], lb)
+            ph2xv = lanevec(P["ph2x"], lb)
+            kfloor_x = S2x1v + (c_mod + ph2xv) // sg
+            frac_x = lr_mov_x / g - half - kfloor_x.astype(jnp.float32)
         kfloor_y = S2y1v + (r_loc + ph2yv) // sg
-        kfloor_x = S2x1v + (c_mod + ph2xv) // sg
         frac_y = lr_mov_y / g - half - kfloor_y.astype(jnp.float32)
-        frac_x = lr_mov_x / g - half - kfloor_x.astype(jnp.float32)
 
         CCv = cc_slab[:]
 

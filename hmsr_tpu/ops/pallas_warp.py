@@ -20,7 +20,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
-from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows
+from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows, _PARAMVEC
+from .pallas_ica import _pv_group_bases, _pv_csrc
 
 _DMA_COLS = 256
 
@@ -83,20 +84,65 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     params_flat = params.reshape(nty, 1, NTXP * 8)
     flow_f = jnp.stack([fx, fy], -1).reshape(nty, 1, NTXP * 2)
 
+    head_ops = [params_flat, flow_f, stats_pad]
+    head_specs = [
+        pl.BlockSpec((1, 1, NTXP * 8), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),         # stats_pad
+    ]
+    if _PARAMVEC:
+        nj = NTXP // XG
+        L = XG * Ts
+        SyP, SxP = params[:, :, 0], params[:, :, 1]
+        phyA, phxA = params[:, :, 2], params[:, :, 3]
+        Sy1A, Sx1A, okA = params[:, :, 4], params[:, :, 5], params[:, :, 6]
+        gvec, gby, gbx = _pv_group_bases(
+            SyP, SxP, XG, stats_pad.shape[1], stats_pad.shape[2], WIN,
+            grows=ROWS + 16, gcols=512)
+        offs = ((SyP - jnp.repeat(gby, XG, 1)) * u + phyA
+                ).reshape(nty, 1, NTXP)
+        csrc, CW = _pv_csrc(SxP, gbx, XG, SEG, ph=phxA, rep=u)
+        assert L <= CW
+        b = jnp.arange(Ts, dtype=jnp.int32)[None, None, :]
+        center_x = Sx1A[..., None] + (b + phxA[..., None]) // u
+        txg = jnp.arange(NTXP, dtype=jnp.int32)[None, :, None]
+        Xg = (txg * Ts + b).astype(DEFAULT_FLOAT)
+        lr_x = (Xg + fx[..., None] + jnp.float32(0.5)) / u - jnp.float32(0.5)
+        xok = ((lr_x >= 0) & (lr_x < lw) &
+               (okA[..., None] > 0)).astype(jnp.int32)
+        bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+
+        def lrow(a):                                 # (nty, NTXP[, Ts])
+            if a.ndim == 2:
+                a = jnp.broadcast_to(a[..., None], (nty, NTXP, Ts))
+            a = a.reshape(nty, nj, L)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, CW - L)))
+
+        rows = [csrc, lrow(Sy1A), lrow(phyA), lrow(center_x),
+                lrow(bits(jnp.broadcast_to(fy[..., None], (nty, NTXP, Ts)))),
+                lrow(bits(lr_x)), lrow(xok)]
+        rows += [jnp.zeros_like(rows[0])]
+        iv = jnp.stack(rows, axis=1).reshape(nty, 8, nj * CW)
+        head_ops += [gvec, offs, iv]
+        head_specs += [
+            pl.BlockSpec((1, 1, nj * 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NTXP), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, CW), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+
     kernel = functools.partial(
         _warp_kernel, u=u, Ts=Ts, XG=XG, WIN=WIN, SEG=SEG, c=c,
         lh=lh, lw=lw, H=H, W=W,
-        hps=stats_pad.shape[1], wps=stats_pad.shape[2])
+        hps=stats_pad.shape[1], wps=stats_pad.shape[2], pv=_PARAMVEC)
 
     grid_spec = pl.GridSpec(
         grid=(nty, NTXP // XG),
-        in_specs=[
-            pl.BlockSpec((1, 1, NTXP * 8), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),     # stats_pad
-        ],
+        in_specs=head_specs,
         out_specs=[
             pl.BlockSpec((c, Ts, XG * Ts), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
@@ -119,7 +165,7 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
         out_shape=(jax.ShapeDtypeStruct((c, nty * Ts, NTXP * Ts), jnp.float32),
                    jax.ShapeDtypeStruct((nty * Ts, NTXP * Ts), jnp.float32)),
         interpret=interpret,
-    )(params_flat, flow_f, stats_pad)
+    )(*head_ops)
 
     return hr[:, :H, :W], valid[:H, :W] > 0.5
 
@@ -131,14 +177,22 @@ def _dogson(x):
     return jnp.where(ax <= 0.5, near, jnp.where(ax <= 1.5, mid, 0.0))
 
 
-def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
-                 win_ref, gwin2_ref, u_slab, sem, gsem, *refs,
-                 u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps):
-    xup_ref = refs[0] if refs else None
+def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
     """Group-window rewrite: one speculative DMA covers the XG x-adjacent
     tile windows (per-tile fallback for wild flow); realignment is one
-    column-selection matmul for the group + a small row matmul per tile;
-    the Dodgson 3x3 stencil then runs on (Ts, XG*Ts) slabs."""
+    column-selection matmul for the group + a dynamic sublane slice (or a
+    small row matmul) per tile; the Dodgson 3x3 stencil then runs on
+    (Ts, XG*Ts) slabs. With ``pv`` all per-tile parameters arrive as
+    precomputed lane planes / group bases (see pallas_merge._PARAMVEC)."""
+    if pv:
+        (params_ref, flow_ref, stats_ref, gvec_ref, offs_ref, iv_ref,
+         hr_ref, valid_ref, win_ref, gwin2_ref, u_slab, sem, gsem,
+         *refs) = args
+    else:
+        (params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
+         win_ref, gwin2_ref, u_slab, sem, gsem, *refs) = args
+        gvec_ref = offs_ref = iv_ref = None
+    xup_ref = refs[0] if refs else None
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -147,42 +201,50 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
     ROWS = win_ref.shape[1]
     L = XG * Ts
 
-    def group_base(jg):
-        """(gby, gbx, mxy, mxx) of group ``jg`` — pure function of the SMEM
-        params row, so the issuing and consuming programs agree exactly."""
-        mny = mxy = params_ref[0, 0, (jg * XG) * 8 + 0]
-        mnx = mxx = params_ref[0, 0, (jg * XG) * 8 + 1]
-        for t in range(1, XG):
-            p0 = (jg * XG + t) * 8
-            mny = jnp.minimum(mny, params_ref[0, 0, p0 + 0])
-            mxy = jnp.maximum(mxy, params_ref[0, 0, p0 + 0])
-            mnx = jnp.minimum(mnx, params_ref[0, 0, p0 + 1])
-            mxx = jnp.maximum(mxx, params_ref[0, 0, p0 + 1])
-        gby = (jnp.clip(mny, 0, hps - GR) // 8) * 8
-        gbx = (jnp.clip(mnx, 0, wps - GCOLS) // 128) * 128
-        return gby, gbx, mxy, mxx
+    if pv:
+        def group_base(jg):
+            # pre-aligned; //8*8 / //128*128 re-prove alignment to Mosaic
+            return ((gvec_ref[0, 0, jg * 4 + 0] // 8) * 8,
+                    (gvec_ref[0, 0, jg * 4 + 1] // 128) * 128)
+    else:
+        def group_base(jg):
+            """(gby, gbx, mxy, mxx) of group ``jg`` — pure function of the
+            SMEM params row: issuing and consuming programs agree exactly."""
+            mny = mxy = params_ref[0, 0, (jg * XG) * 8 + 0]
+            mnx = mxx = params_ref[0, 0, (jg * XG) * 8 + 1]
+            for t in range(1, XG):
+                p0 = (jg * XG + t) * 8
+                mny = jnp.minimum(mny, params_ref[0, 0, p0 + 0])
+                mxy = jnp.maximum(mxy, params_ref[0, 0, p0 + 0])
+                mnx = jnp.minimum(mnx, params_ref[0, 0, p0 + 1])
+                mxx = jnp.maximum(mxx, params_ref[0, 0, p0 + 1])
+            gby = (jnp.clip(mny, 0, hps - GR) // 8) * 8
+            gbx = (jnp.clip(mnx, 0, wps - GCOLS) // 128) * 128
+            return gby, gbx, mxy, mxx
 
     def issue(jg, slot):
-        gby, gbx, _, _ = group_base(jg)
+        b = group_base(jg)
         pltpu.make_async_copy(
-            stats_ref.at[:, pl.ds(gby, GR), pl.ds(gbx, GCOLS)],
+            stats_ref.at[:, pl.ds(b[0], GR), pl.ds(b[1], GCOLS)],
             gwin2_ref.at[slot], gsem.at[slot]).start()
 
-    Syp, Sxp, phy, phx, Sy1, Sx1, okl, fxl, fyl = ([] for _ in range(9))
-    for t in range(XG):
-        p0 = (jg_ * XG + t) * 8
-        Syp.append(params_ref[0, 0, p0 + 0])
-        Sxp.append(params_ref[0, 0, p0 + 1])
-        phy.append(params_ref[0, 0, p0 + 2])
-        phx.append(params_ref[0, 0, p0 + 3])
-        Sy1.append(params_ref[0, 0, p0 + 4])
-        Sx1.append(params_ref[0, 0, p0 + 5])
-        okl.append(params_ref[0, 0, p0 + 6])
-        fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
-        fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
+    def read_params():
+        out = ([], [], [], [], [], [], [], [], [])
+        for t in range(XG):
+            p0 = (jg_ * XG + t) * 8
+            for k in range(7):
+                out[k].append(params_ref[0, 0, p0 + k])
+            out[7].append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
+            out[8].append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
+        return out
 
-    gby, gbx, mxy, mxx = group_base(jg_)
-    fit = ((mxy - gby) <= GR - WIN) & ((mxx - gbx) <= GCOLS - WIN)
+    if pv:
+        gby, gbx = group_base(jg_)
+        fit = gvec_ref[0, 0, jg_ * 4 + 2] > 0
+    else:
+        Syp, Sxp, phy, phx, Sy1, Sx1, okl, fxl, fyl = read_params()
+        gby, gbx, mxy, mxx = group_base(jg_)
+        fit = ((mxy - gby) <= GR - WIN) & ((mxx - gbx) <= GCOLS - WIN)
 
     # cross-program double buffering: program j waits on the fetch issued
     # by program j-1 (or its own, at the start of a grid row) and issues
@@ -206,16 +268,20 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
 
     @pl.when(fit)
     def _():
-        lv = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
-        dxv = jnp.zeros((1, XG * SEG), jnp.int32)
-        phv = jnp.zeros((1, XG * SEG), jnp.int32)
-        for t in range(XG):
-            m = (lv == t).astype(jnp.int32)
-            dxv = dxv + (Sxp[t] - gbx) * m
-            phv = phv + phx[t] * m
         ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 0)
-        cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
-        Cw = (ci == dxv + ((cj % SEG) + phv) // u).astype(jnp.float32)
+        if pv:
+            csrc = iv_ref[0, 0:1, :XG * SEG]
+        else:
+            lv = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
+            dxv = jnp.zeros((1, XG * SEG), jnp.int32)
+            phv = jnp.zeros((1, XG * SEG), jnp.int32)
+            for t in range(XG):
+                m = (lv == t).astype(jnp.int32)
+                dxv = dxv + (Sxp[t] - gbx) * m
+                phv = phv + phx[t] * m
+            cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
+            csrc = dxv + ((cj % SEG) + phv) // u
+        Cw = (ci == csrc).astype(jnp.float32)
         Y = _dot_sel(gwin_ref[:].reshape(c * GR, GCOLS), Cw)
         if xup_ref is not None and SEG + 8 <= xup_ref.shape[0]:
             # row realignment via one static u-fold sublane repeat + a
@@ -225,23 +291,33 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
                     jnp.repeat(Y[ch * GR:(ch + 1) * GR], u, axis=0) \
                     if u > 1 else Y[ch * GR:(ch + 1) * GR]
                 for t in range(XG):
-                    off = (Syp[t] - gby) * u + phy[t]
+                    off = offs_ref[0, 0, jg_ * XG + t] if pv else \
+                        (Syp[t] - gby) * u + phy[t]
                     u_slab[ch, :, t * SEG:(t + 1) * SEG] = \
                         _dyn_rows(xup_ref, off, SEG, t * SEG, SEG)
         else:
+            if pv:
+                rp = read_params()
+                Sypl, phyl = rp[0], rp[2]
+            else:
+                Sypl, phyl = Syp, phy
             ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 0)
             rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 1)
             for t in range(XG):
-                Rsel = (rj == (Syp[t] - gby) +
-                        (ri + phy[t]) // u).astype(jnp.float32)
+                Rsel = (rj == (Sypl[t] - gby) +
+                        (ri + phyl[t]) // u).astype(jnp.float32)
                 for ch in range(c):
                     u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
                         Rsel, Y[ch * GR:(ch + 1) * GR, t * SEG:(t + 1) * SEG])
 
     @pl.when(jnp.logical_not(fit))
     def _():
-        rys = [(Syp[t] // 8) * 8 for t in range(XG)]
-        rxs = [(Sxp[t] // 128) * 128 for t in range(XG)]
+        if pv:
+            Syp_, Sxp_, phy_, phx_ = read_params()[:4]
+        else:
+            Syp_, Sxp_, phy_, phx_ = Syp, Sxp, phy, phx
+        rys = [(Syp_[t] // 8) * 8 for t in range(XG)]
+        rxs = [(Sxp_[t] // 128) * 128 for t in range(XG)]
 
         def start(t):
             pltpu.make_async_copy(
@@ -257,14 +333,14 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
                 win_ref, sem).wait()
             ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)
-            Rsel = (jj == (Syp[t] - rys[t]) +
-                    (ii + phy[t]) // u).astype(jnp.float32)
+            Rsel = (jj == (Syp_[t] - rys[t]) +
+                    (ii + phy_[t]) // u).astype(jnp.float32)
             ii2 = jax.lax.broadcasted_iota(
                 jnp.int32, (win_ref.shape[2], SEG), 0)
             jj2 = jax.lax.broadcasted_iota(
                 jnp.int32, (win_ref.shape[2], SEG), 1)
-            Csel = (ii2 == (Sxp[t] - rxs[t]) +
-                    (jj2 + phx[t]) // u).astype(jnp.float32)
+            Csel = (ii2 == (Sxp_[t] - rxs[t]) +
+                    (jj2 + phx_[t]) // u).astype(jnp.float32)
             Y = _dot_sel(win_ref[:].reshape(c * ROWS, win_ref.shape[2]), Csel)
             for ch in range(c):
                 u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
@@ -288,23 +364,33 @@ def _warp_kernel(params_ref, flow_ref, stats_ref, hr_ref, valid_ref,
             out = out + vals[t] * (lb == t).astype(jnp.float32)
         return out
 
-    Sy1v = lanei(Sy1)
-    Sx1v = lanei(Sx1)
-    phyv = lanei(phy)
-    phxv = lanei(phx)
-    okv = lanei(okl)
-    fxv = lanef(fxl)
-    fyv = lanef(fyl)
-
     Yg = (i * Ts + r_loc).astype(jnp.float32)           # (Ts, 1)
-    Xg = (jg_ * L + lane).astype(jnp.float32)           # (1, L)
-    lr_y = (Yg + fyv + half) / u - half                 # (Ts, L)
-    lr_x = (Xg + fxv + half) / u - half
-    valid = (((lr_y >= 0) & (lr_y < lh)) &
-             ((lr_x >= 0) & (lr_x < lw)) & (okv > 0))
+    if pv:
+        b32 = lambda r: jax.lax.bitcast_convert_type(
+            iv_ref[0, r:r + 1, :L], jnp.float32)
+        Sy1v = iv_ref[0, 1:2, :L]
+        phyv = iv_ref[0, 2:3, :L]
+        center_x = iv_ref[0, 3:4, :L]
+        fyv = b32(4)
+        lr_x = b32(5)
+        lr_y = (Yg + fyv + half) / u - half             # (Ts, L)
+        valid = ((lr_y >= 0) & (lr_y < lh)) & (iv_ref[0, 6:7, :L] > 0)
+    else:
+        Sy1v = lanei(Sy1)
+        Sx1v = lanei(Sx1)
+        phyv = lanei(phy)
+        phxv = lanei(phx)
+        okv = lanei(okl)
+        fxv = lanef(fxl)
+        fyv = lanef(fyl)
+        Xg = (jg_ * L + lane).astype(jnp.float32)       # (1, L)
+        lr_y = (Yg + fyv + half) / u - half             # (Ts, L)
+        lr_x = (Xg + fxv + half) / u - half
+        valid = (((lr_y >= 0) & (lr_y < lh)) &
+                 ((lr_x >= 0) & (lr_x < lw)) & (okv > 0))
+        center_x = Sx1v + (c_mod + phxv) // u           # (1, L)
 
     center_y = Sy1v + (r_loc + phyv) // u               # (Ts, L) global
-    center_x = Sx1v + (c_mod + phxv) // u               # (1, L)
 
     # tap extraction: the column mapping depends only on dj — THREE
     # selection matmuls of the flattened (c*SEG, XG*SEG) slab replace the
