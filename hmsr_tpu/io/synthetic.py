@@ -22,16 +22,33 @@ def smooth_rgb(h, w, seed=0, detail=8, bandwidth=0.1):
     ``bandwidth`` is the spectral cutoff in cycles/pixel on THIS grid; keep it
     below 0.5/sr_factor so the downsampled burst can represent the scene and
     reconstruction error measures the pipeline, not irrecoverable aliasing.
+
+    Scene statistics are natural-image-like: a 1/f amplitude spectrum (knee at
+    ``1/(4*detail)`` cycles/pixel) with a raised-cosine taper to exactly zero
+    at ``bandwidth`` (no brick-wall ringing), a shared-luminance structure, and
+    lower-bandwidth chroma — so demo outputs look like smooth colored terrain
+    with fine detail rather than i.i.d. confetti, while alignment/merge still
+    see energy at every representable scale.
     """
     rng = np.random.RandomState(seed)
-    low = rng.rand(max(h // detail, 1), max(w // detail, 1), 3)
     fy = np.fft.fftfreq(h)[:, None]
     fx = np.fft.fftfreq(w)[None, :]
-    up = np.stack([np.kron(low[..., c], np.ones((detail, detail)))[:h, :w]
-                   for c in range(3)], -1)
-    mask = (np.abs(fy) < bandwidth) & (np.abs(fx) < bandwidth)
-    for c in range(3):
-        up[..., c] = np.real(np.fft.ifft2(np.fft.fft2(up[..., c]) * mask))
+    r = np.hypot(fy, fx)
+
+    def field(cutoff):
+        amp = 1.0 / (r + 1.0 / (4.0 * detail))
+        t = np.clip(r / cutoff, 0.0, 1.0)
+        amp = amp * 0.5 * (1.0 + np.cos(np.pi * t))
+        amp[r >= cutoff] = 0.0
+        x = np.real(np.fft.ifft2(amp * np.exp(2j * np.pi * rng.rand(h, w))))
+        return x / (x.std() + 1e-9)
+
+    luma = field(bandwidth)
+    c1 = field(bandwidth / 4)
+    c2 = field(bandwidth / 4)
+    up = np.stack([luma + 0.5 * c1,
+                   luma - 0.25 * c1 + 0.35 * c2,
+                   luma - 0.45 * c2], -1)
     up = (up - up.min()) / (up.max() - up.min() + 1e-9)
     return (0.1 + 0.8 * up).astype(np.float32)
 

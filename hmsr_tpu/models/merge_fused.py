@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.accumfix import normalize_accum
 from ..utils.types import DEFAULT_FLOAT
 from .merge_tiled import _cfa_lut, _channel_from_parity, _round_half_even
 
@@ -352,7 +353,7 @@ def merge_burst_tiled(comp_stack, flows, covs_stack, r_stack, ref_img,
         else:
             num = vals + rval
             den = accs + racc
-        return num / den
+        return normalize_accum(num, den)
 
     tile_cols = jnp.arange(ntx, dtype=jnp.int32)
 

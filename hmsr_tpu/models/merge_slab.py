@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.accumfix import normalize_accum
 from ..utils.types import DEFAULT_FLOAT
 from .merge_tiled import _cfa_lut, _channel_from_parity, _round_half_even
 
@@ -373,7 +374,7 @@ def merge_burst_slab(comp_stack, flows, covs_stack, r_stack, ref_img,
         else:
             num = vals + rval
             den = accs + racc
-        return num / den                                        # (c, B, OW)
+        return normalize_accum(num, den)                        # (c, B, OW)
 
     def band(ty0):
         tys = ty0 + jnp.arange(_BAND_TILE_ROWS, dtype=jnp.int32)

@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.accumfix import normalize_accum
 from ..ops.grey import compute_grey_image
 from ..utils.types import DEFAULT_FLOAT
 from .alignment import align, init_alignment
@@ -234,7 +235,8 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern,
                                 config,
                                 acc_rob=acc_r if robustness_denoise else None)
-        image = jnp.transpose(num / den, (1, 2, 0))    # -> (H*s, W*s, c)
+        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        # -> (H*s, W*s, c)
         if debug_mode and ys is not None:
             debug["flow"] = ys[0]
             debug["robustness"] = ys[1]

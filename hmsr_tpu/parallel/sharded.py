@@ -35,6 +35,7 @@ from ..models.pipeline import flow_to_raw_grid, _on_tpu
 from ..models.merge import merge, merge_ref
 from ..models.merge_tiled import merge_tiled
 from ..models.robustness import compute_robustness, init_robustness
+from ..ops.accumfix import normalize_accum
 from ..ops.grey import compute_grey_image
 from ..utils.types import DEFAULT_FLOAT
 
@@ -170,7 +171,7 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         num, den = merge_ref(ref_img, ref_covs, num, den, cfa, config,
                              acc_rob=acc_r if robustness_denoise else None,
                              row_offset=row_offset)
-        image = jnp.transpose(num / den, (1, 2, 0))
+        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
 
         # acc_r is identical on every space shard; a second psum over 'space'
         # (divided back) certifies it replicated for the P() output spec.

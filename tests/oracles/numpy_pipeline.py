@@ -71,5 +71,9 @@ def run_pipeline(ref_raw, comp_raws, std_curve, diff_curve, config, cfa, wb):
                                        bayer=bayer)
     num, den = stages.merge_ref(ref_raw, ref_covs, num, den, cfa, scale,
                                 bayer=bayer, iso=iso_kernel)
-    image = num / den
+    # starved-pixel refill mirrors hmsr_tpu.ops.accumfix (deliberate
+    # deviation from the reference's bare divide; see its docstring)
+    from hmsr_tpu.ops.accumfix import normalize_accum_np
+    image = normalize_accum_np(num.transpose(2, 0, 1),
+                               den.transpose(2, 0, 1)).transpose(1, 2, 0)
     return image, flows, rmaps

@@ -9,7 +9,20 @@ from hmsr_tpu.configs import default_config, update_snr_config
 from hmsr_tpu.models.merge_tiled import merge_tiled, merge_ref_tiled
 from hmsr_tpu.models.merge_fused import merge_burst_tiled
 
+from hmsr_tpu.ops.accumfix import STARVED_DEN
+
 CFA = np.array([[0, 1], [1, 2]])
+
+
+def check(got, want, wellfed):
+    """Exact parity where the accumulator is well-fed; starved pixels are
+    refilled from implementation-local context (see accumfix docstring), so
+    there we only require finite values inside the sample range."""
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got[wellfed], want[wellfed],
+                               atol=5e-4, rtol=5e-4)
+    starved = ~wellfed
+    assert ((got[starved] >= -1e-3) & (got[starved] <= 1.0 + 1e-3)).all()
 
 
 def make_config(scale, ts=16, bayer=True, iso=False, acc=False):
@@ -61,39 +74,38 @@ def run_case(scale, bayer, iso, seed, acc=False, F=3, h=64, w=80, ts=16):
     num, den = merge_ref_tiled(jnp.asarray(ref), jnp.asarray(ref_covs), num,
                                den, CFA, c,
                                acc_rob=jnp.asarray(acc_rob) if acc else None)
-    want = np.asarray(num / den)
+    # same final-normalization semantics as the fused path (accumfix)
+    from hmsr_tpu.ops.accumfix import normalize_accum
+    want = np.asarray(normalize_accum(num, den))
+    wellfed = np.asarray(den) > STARVED_DEN
 
     got = np.asarray(merge_burst_tiled(
         jnp.asarray(comp), jnp.asarray(flows), jnp.asarray(covs),
         jnp.asarray(rmaps), jnp.asarray(ref), jnp.asarray(ref_covs), CFA, c,
         acc_rob=jnp.asarray(acc_rob) if acc else None))
-    return got, want
+    return got, want, wellfed
 
 
 @pytest.mark.parametrize("scale", [1, 2])
 @pytest.mark.parametrize("iso", [False, True])
 def test_matches_sequential(scale, iso):
-    got, want = run_case(scale, True, iso, seed=scale * 3 + iso)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_case(scale, True, iso, seed=scale * 3 + iso)
+    check(got, want, wellfed)
 
 
 def test_grey():
-    got, want = run_case(2, False, False, seed=5)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_case(2, False, False, seed=5)
+    check(got, want, wellfed)
 
 
 def test_acc_rob_override():
-    got, want = run_case(2, True, False, seed=7, acc=True)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_case(2, True, False, seed=7, acc=True)
+    check(got, want, wellfed)
 
 
 def test_scale3():
-    got, want = run_case(3, True, False, seed=9, F=2)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_case(3, True, False, seed=9, F=2)
+    check(got, want, wellfed)
 
 
 # ---------------------------------------------------------------------------
@@ -124,31 +136,38 @@ def run_slab(scale, bayer, iso, seed, acc=False, F=3, h=64, w=80, ts=16):
     kw = dict(acc_rob=jnp.asarray(acc_rob) if acc else None)
     want = np.asarray(merge_burst_tiled(*args, **kw))
     got = np.asarray(merge_burst_slab(*args, **kw))
-    return got, want
+
+    n_ch = 3 if bayer else 1
+    num = jnp.zeros((n_ch, scale * h, scale * w), jnp.float32)
+    den = jnp.zeros((n_ch, scale * h, scale * w), jnp.float32)
+    for f in range(F):
+        num, den = merge_tiled(jnp.asarray(comp[f]), jnp.asarray(flows[f]),
+                               jnp.asarray(covs[f]), jnp.asarray(rmaps[f]),
+                               num, den, CFA, c)
+    num, den = merge_ref_tiled(jnp.asarray(ref), jnp.asarray(ref_covs), num,
+                               den, CFA, c,
+                               acc_rob=jnp.asarray(acc_rob) if acc else None)
+    wellfed = np.asarray(den) > STARVED_DEN
+    return got, want, wellfed
 
 
 @pytest.mark.parametrize("scale", [1, 2])
 @pytest.mark.parametrize("iso", [False, True])
 def test_slab_matches_tiled(scale, iso):
-    got, want = run_slab(scale, True, iso, seed=scale * 11 + iso)
-    m = np.isfinite(want)
-    assert (np.isfinite(got) == m).all()
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_slab(scale, True, iso, seed=scale * 11 + iso)
+    check(got, want, wellfed)
 
 
 def test_slab_grey():
-    got, want = run_slab(2, False, False, seed=31)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_slab(2, False, False, seed=31)
+    check(got, want, wellfed)
 
 
 def test_slab_acc_rob():
-    got, want = run_slab(2, True, False, seed=33, acc=True)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_slab(2, True, False, seed=33, acc=True)
+    check(got, want, wellfed)
 
 
 def test_slab_scale3():
-    got, want = run_slab(3, True, False, seed=35, F=2)
-    m = np.isfinite(want)
-    np.testing.assert_allclose(got[m], want[m], atol=5e-4, rtol=5e-4)
+    got, want, wellfed = run_slab(3, True, False, seed=35, F=2)
+    check(got, want, wellfed)
