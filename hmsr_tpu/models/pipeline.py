@@ -59,6 +59,12 @@ def select_merge(config):
     impl = config.get("tpu", {}).get("merge_impl", "auto")
     if impl == "pallas" or (impl == "auto" and _use_tiled(config) and _on_tpu()):
         from ..ops.pallas_merge import merge_pallas
+        if bool(config.get("tpu", {}).get("pallas_interpret", False)):
+            def _merge_pallas_interp(*a, **k):
+                return merge_pallas(*a, interpret=True, **k)
+            # run_pipeline keys the padded accumulator geometry off the name
+            _merge_pallas_interp.__name__ = "merge_pallas"
+            return _merge_pallas_interp
         return merge_pallas
     return merge_tiled if _use_tiled(config) else merge
 
@@ -95,6 +101,49 @@ def merge_ref_banded(ref_img, covs, num, den, cfa_pattern, config,
     nb = jnp.transpose(nb, (1, 0, 2, 3)).reshape(n_ch, pad_h, out_w)[:, :out_h]
     db = jnp.transpose(db, (1, 0, 2, 3)).reshape(n_ch, pad_h, out_w)[:, :out_h]
     return nb, db
+
+
+def _merge_burst_chunked(comp_imgs, flows, covs_stack, rmaps, num, den,
+                         cfa_pattern, config):
+    """Accumulate the burst through the burst-fused Pallas merge in frame
+    chunks of ``tpu.merge_chunk`` (default 5).
+
+    Each chunk is ONE pallas_call with a (rows, groups, frames) grid —
+    num/den visit HBM once per chunk instead of once per frame (the scan
+    formulation moves ~45 GB of accumulator traffic at 20x12MP/x2; chunks
+    of 5 cut that to ~9 GB while bounding the precomputed parameter-plane
+    footprint to chunk size). The burst is padded to a chunk multiple with
+    zero-robustness frames (exactly zero contribution; covariances repeat
+    the last real frame so the bilinear interpolation stays finite).
+    """
+    from ..ops.pallas_merge import merge_burst_pallas
+    interpret = bool(config.get("tpu", {}).get("pallas_interpret", False))
+    f0 = comp_imgs.shape[0]
+    fc = int(config.get("tpu", {}).get("merge_chunk", 5))
+    fc = max(1, min(fc, f0))
+    n_chunks = -(-f0 // fc)
+    fpad = n_chunks * fc - f0
+    if fpad:
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((fpad,) + a.shape[1:], a.dtype)])
+        comp_imgs = zpad(comp_imgs)
+        flows = zpad(flows)
+        rmaps = zpad(rmaps)
+        covs_stack = jnp.concatenate(
+            [covs_stack, jnp.repeat(covs_stack[-1:], fpad, axis=0)])
+
+    def chunk_step(carry, xs):
+        num, den = carry
+        c, f, k, r = xs
+        num, den = merge_burst_pallas(c, f, k, r, num, den, cfa_pattern,
+                                      config, interpret=interpret)
+        return (num, den), None
+
+    resh = lambda a: a.reshape((n_chunks, fc) + a.shape[1:])
+    (num, den), _ = jax.lax.scan(
+        chunk_step, (num, den),
+        (resh(comp_imgs), resh(flows), resh(covs_stack), resh(rmaps)))
+    return num, den
 
 
 def flow_to_raw_grid(flow, raw_shape, tile_size):
@@ -160,29 +209,37 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     h, w = ref_img.shape
     out_h, out_w = round(scale * h), round(scale * w)
     n_ch = 3 if bayer else 1
+
+    pipe_mode = config.get("tpu", {}).get("pipeline", "auto")
+    if pipe_mode == "auto":
+        # on TPU the scan pipeline + Pallas merge kernel is fastest; the
+        # burst-fused "chunked" grid measured slightly SLOWER end-to-end
+        # (2.49 s vs 2.30 s at 20x12MP/x2 — accumulator HBM round trips are
+        # only ~55 ms total at v5e bandwidth, and the analyze phase pays to
+        # materialize per-frame robustness/covariance stacks); the fused-slab
+        # path is best for XLA-only backends
+        pipe_mode = "scan" if _on_tpu() else "fused"
+    fused = pipe_mode == "fused" and _use_tiled(config)
+    chunked = pipe_mode == "chunked" and _use_tiled(config)
+    if pipe_mode == "chunked" and not chunked:
+        raise ValueError("tpu.pipeline=chunked requires an integer scale "
+                         "(tiled merge geometry)")
+
     # channel-first accumulators: TPU tiling pads minor-most dims to (8, 128).
     # With the Pallas merge the carry lives at the kernel's padded geometry so
     # every frame accumulates IN PLACE (input/output aliasing); cropped once
     # before the reference merge.
     merge_fn = select_merge(config)
     accum_shape = (n_ch, out_h, out_w)
-    if getattr(merge_fn, "__name__", "") == "merge_pallas":
+    if chunked or getattr(merge_fn, "__name__", "") == "merge_pallas":
         from ..ops.pallas_merge import padded_accum_shape
         accum_shape = padded_accum_shape(config, (h, w), n_ch)
     num = jnp.zeros(accum_shape, DEFAULT_FLOAT)
     den = jnp.zeros(accum_shape, DEFAULT_FLOAT)
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
-    noise_curves = (std_curve, diff_curve)
-    pipe_mode = config.get("tpu", {}).get("pipeline", "auto")
-    if pipe_mode == "auto":
-        # on TPU the scan pipeline + Pallas merge kernel is fastest; the
-        # fused-slab path is better for XLA-only backends
-        pipe_mode = "scan" if _on_tpu() else "fused"
-    fused = pipe_mode == "fused" and _use_tiled(config)
-
     debug = {}
-    if fused:
+    if fused or chunked:
         # Phase A (analysis): scan over frames producing per-frame flow,
         # robustness and covariances. Phase B (fused merge): every frame
         # accumulated per HR tile in VMEM; num/den never round-trip HBM.
@@ -199,14 +256,26 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         acc_r, (flows, rmaps, covs_stack) = jax.lax.scan(
             analyze, acc_r, comp_imgs)
         ref_covs = estimate_kernels(ref_img, config)
-        fused_impl = merge_burst_slab \
-            if config.get("tpu", {}).get("fused_impl", "slab") == "slab" \
-            else merge_burst_tiled
-        image = fused_impl(
-            comp_imgs, flows, covs_stack, rmaps, ref_img, ref_covs,
-            cfa_pattern, config,
-            acc_rob=acc_r if robustness_denoise else None)
-        image = jnp.transpose(image, (1, 2, 0))
+        if chunked:
+            num, den = _merge_burst_chunked(
+                comp_imgs, flows, covs_stack, rmaps, num, den,
+                cfa_pattern, config)
+            num = num[:, :out_h, :out_w]
+            den = den[:, :out_h, :out_w]
+            merge_ref_fn = select_merge_ref(config)
+            num, den = merge_ref_fn(
+                ref_img, ref_covs, num, den, cfa_pattern, config,
+                acc_rob=acc_r if robustness_denoise else None)
+            image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        else:
+            fused_impl = merge_burst_slab \
+                if config.get("tpu", {}).get("fused_impl", "slab") == "slab" \
+                else merge_burst_tiled
+            image = fused_impl(
+                comp_imgs, flows, covs_stack, rmaps, ref_img, ref_covs,
+                cfa_pattern, config,
+                acc_rob=acc_r if robustness_denoise else None)
+            image = jnp.transpose(image, (1, 2, 0))
         if debug_mode:
             debug["flow"] = flows
             debug["robustness"] = rmaps

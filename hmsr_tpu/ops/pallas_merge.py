@@ -241,6 +241,39 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     row_offset + nb*B). Tile rows beyond the image grid contribute exactly
     zero (their ok-flag is 0). Requires the padded (in-place) geometry.
     """
+    return _merge_frames_pallas(
+        comp_img[None], flow[None], covs[None], r[None], num, den,
+        cfa_pattern, config, interpret=interpret, row_offset=row_offset)
+
+
+def merge_burst_pallas(comp_stack, flows, covs_stack, r_stack, num, den,
+                       cfa_pattern, config, interpret=False):
+    """Burst-fused merge: accumulate EVERY frame of ``comp_stack`` (leading
+    axis F) in ONE pallas_call with a (rows, groups, frames) grid, frames
+    innermost.
+
+    The output block index map ignores the frame axis, so each HR tile
+    group's num/den block stays resident in VMEM across all F frames and is
+    written back to HBM exactly once — the scan formulation's per-frame
+    accumulator round trips (2 x ~590 MB read + write per frame at 48MP,
+    ~45 GB over a 20-frame burst) collapse to one visit. Mathematically
+    identical to F sequential :func:`merge_pallas` calls (same per-frame
+    slab math, same f32 accumulation order).
+
+    Requires the padded in-place accumulator geometry
+    (:func:`padded_accum_shape`) and the vectorized parameter planes
+    (HMSR_PARAMVEC=1, the default): the cross-program speculative DMA
+    pipeline reads the NEXT program's window bases from a gvec SMEM row
+    that holds all frames of a tile row.
+    """
+    return _merge_frames_pallas(comp_stack, flows, covs_stack, r_stack,
+                                num, den, cfa_pattern, config,
+                                interpret=interpret, row_offset=0)
+
+
+def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
+                         num, den, cfa_pattern, config,
+                         interpret=False, row_offset=0):
     s = int(config.scale)
     assert s == config.scale and s >= 1
     bayer = config.mode == "bayer"
@@ -250,7 +283,10 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     sg = s * g
     cfa = np.asarray(cfa_pattern, dtype=np.int32)
 
-    H, W = comp_img.shape
+    F, H, W = comp_stack.shape
+    if F > 1:
+        assert _PARAMVEC, "the burst-fused grid requires HMSR_PARAMVEC=1 " \
+            "(speculative DMA bases of the next frame live in the gvec row)"
     n_ch = num.shape[0]
     out_h, out_w = s * H, s * W          # true (unpadded) output extent
     B = Ts * s
@@ -261,7 +297,7 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     CWIN = Ts // g + 4
     PAD = WIN + 1
     CPAD = CWIN + 1
-    gh, gw = covs.shape[1], covs.shape[2]
+    gh, gw = covs_stack.shape[2], covs_stack.shape[3]
     ROWS_C = _dma_rows(WIN)
     ROWS_K = _dma_rows(CWIN)
     assert WIN <= 128 and CWIN <= 128
@@ -273,14 +309,16 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
         pad = [(0, 0)] * (x.ndim - 2) + [(0, pr), (0, pc)]
         return jnp.pad(x, pad)
 
-    comp_pad = jnp.pad(comp_img, ((PAD, PAD), (PAD, PAD)))
+    comp_pad = jnp.pad(comp_stack, ((0, 0), (PAD, PAD), (PAD, PAD)))
     comp_pad = pad_to(comp_pad, ROWS_C, _DMA_COLS,
                       extra_rows=ROWS_C, extra_cols=_DMA_COLS)
-    cov_pad = jnp.pad(covs, ((0, 0), (CPAD, CPAD), (CPAD, CPAD)), mode="edge")
-    cov_pad = cov_pad.at[:, CPAD - 1, :].set(
-        2.0 * cov_pad[:, CPAD, :] - cov_pad[:, CPAD + 1, :])
-    cov_pad = cov_pad.at[:, :, CPAD - 1].set(
-        2.0 * cov_pad[:, :, CPAD] - cov_pad[:, :, CPAD + 1])
+    cov_pad = jnp.pad(covs_stack,
+                      ((0, 0), (0, 0), (CPAD, CPAD), (CPAD, CPAD)),
+                      mode="edge")
+    cov_pad = cov_pad.at[:, :, CPAD - 1, :].set(
+        2.0 * cov_pad[:, :, CPAD, :] - cov_pad[:, :, CPAD + 1, :])
+    cov_pad = cov_pad.at[:, :, :, CPAD - 1].set(
+        2.0 * cov_pad[:, :, :, CPAD] - cov_pad[:, :, :, CPAD + 1])
     cov_pad = pad_to(cov_pad, ROWS_K, _DMA_COLS,
                      extra_rows=ROWS_K, extra_cols=_DMA_COLS)
 
@@ -301,46 +339,62 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     # static row bound every band fits in: ceil(nty/nb) bands of nb rows
     nty_p = -(-nty // nb) * nb if banded else nty
 
-    r_pad = jnp.pad(r, ((0, nty_p * Ts - H), (0, NTXP * Ts - W)), mode="edge")
+    r_pad = jnp.pad(r_stack, ((0, 0), (0, nty_p * Ts - H),
+                              (0, NTXP * Ts - W)), mode="edge")
 
-    params = _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw,
-                                     PAD, CPAD, WIN, CWIN)
-    params = params[:nty, :ntx]
+    params = jax.vmap(lambda fl: _precompute_tile_params(
+        fl, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN))(flow_stack)
+    params = params[:, :nty, :ntx]
     if NTXP != ntx:
-        fill = jnp.zeros((nty, NTXP - ntx, 14), params.dtype)
-        params = jnp.concatenate([params, fill], axis=1)
-    flow_t = flow[:nty, :ntx].astype(DEFAULT_FLOAT)
+        fill = jnp.zeros((F, nty, NTXP - ntx, 14), params.dtype)
+        params = jnp.concatenate([params, fill], axis=2)
+    flow_t = flow_stack[:, :nty, :ntx].astype(DEFAULT_FLOAT)
     if NTXP != ntx:
         flow_t = jnp.concatenate(
-            [flow_t, jnp.zeros((nty, NTXP - ntx, 2), DEFAULT_FLOAT)], axis=1)
+            [flow_t, jnp.zeros((F, nty, NTXP - ntx, 2), DEFAULT_FLOAT)],
+            axis=2)
     if banded:
         if nty_p != nty:
             # zero params rows: ok-flag 0 -> zero contribution (see docstring)
             params = jnp.concatenate(
-                [params, jnp.zeros((nty_p - nty, NTXP, 14), params.dtype)], 0)
+                [params, jnp.zeros((F, nty_p - nty, NTXP, 14), params.dtype)],
+                axis=1)
             flow_t = jnp.concatenate(
-                [flow_t, jnp.zeros((nty_p - nty, NTXP, 2), flow_t.dtype)], 0)
+                [flow_t, jnp.zeros((F, nty_p - nty, NTXP, 2), flow_t.dtype)],
+                axis=1)
         t0 = jnp.asarray(row_offset, jnp.int32) // B
-        params = jax.lax.dynamic_slice_in_dim(params, t0, nb, axis=0)
-        flow_t = jax.lax.dynamic_slice_in_dim(flow_t, t0, nb, axis=0)
-        r_pad = jax.lax.dynamic_slice_in_dim(r_pad, t0 * Ts, nb * Ts, axis=0)
-    params_flat = params.reshape(nb, 1, NTXP * 14)
-    flow_f = flow_t.reshape(nb, 1, NTXP * 2)
+        params = jax.lax.dynamic_slice_in_dim(params, t0, nb, axis=1)
+        flow_t = jax.lax.dynamic_slice_in_dim(flow_t, t0, nb, axis=1)
+        r_pad = jax.lax.dynamic_slice_in_dim(r_pad, t0 * Ts, nb * Ts, axis=1)
+    params_flat = params.reshape(F * nb, 1, NTXP * 14)
+    flow_f = flow_t.reshape(F * nb, 1, NTXP * 2)
 
     if _PARAMVEC:
-        gvec, (gby_a, gbx_a), (gbyk_a, gbxk_a) = _group_bases(
-            params, XG, _dma_rows(WIN) + 16, _GCOLS_M,
-            comp_pad.shape[0], comp_pad.shape[1], WIN,
-            _dma_rows(CWIN) + 16, cov_pad.shape[1], cov_pad.shape[2], CWIN,
-            iso)
-        rep = lambda a: jnp.repeat(a, XG, axis=1)            # (nb, NTXP)
-        off_c = (params[:, :, 0] - rep(gby_a)) * s + params[:, :, 2]
-        off_k = (params[:, :, 4] - rep(gbyk_a)) * sg + params[:, :, 6] \
+        gvec, (gby_a, gbx_a), (gbyk_a, gbxk_a) = jax.vmap(
+            lambda p: _group_bases(
+                p, XG, _dma_rows(WIN) + 16, _GCOLS_M,
+                comp_pad.shape[1], comp_pad.shape[2], WIN,
+                _dma_rows(CWIN) + 16, cov_pad.shape[2], cov_pad.shape[3],
+                CWIN, iso))(params)
+        # one SMEM row per TILE ROW holding ALL frames' group bases — the
+        # speculative DMA issue for the next grid step (same group, frame
+        # n+1, or group j+1, frame 0) reads across the frame axis
+        gvec = jnp.transpose(gvec, (1, 0, 2, 3)).reshape(
+            nb, 1, F * gvec.shape[-1])
+        rep = lambda a: jnp.repeat(a, XG, axis=2)            # (F, nb, NTXP)
+        off_c = (params[..., 0] - rep(gby_a)) * s + params[..., 2]
+        off_k = (params[..., 4] - rep(gbyk_a)) * sg + params[..., 6] \
             if not iso else jnp.zeros_like(off_c)
-        offs = jnp.stack([off_c, off_k], axis=-1).reshape(nb, 1, NTXP * 2)
-        iv, fv = _lane_planes(params, flow_t, s, g, B, H, W, iso)
-        cv, CW = _csrc_planes(params, XG, B + 2 * s, B + 2 * sg, s, sg,
-                              gbx_a, gbxk_a, iso)
+        offs = jnp.stack([off_c, off_k], axis=-1).reshape(F * nb, 1, NTXP * 2)
+        iv, fv = jax.vmap(lambda p, f: _lane_planes(
+            p, f, s, g, B, H, W, iso))(params, flow_t)
+        iv = iv.reshape(F * nb, 8, NTXP * B)
+        fv = fv.reshape(F * nb, 8, NTXP * B)
+        CW = -(-max(XG * (B + 2 * s), XG * (B + 2 * sg)) // 128) * 128
+        cv = jax.vmap(lambda p, gx, gxk: _csrc_planes(
+            p, XG, B + 2 * s, B + 2 * sg, s, sg, gx, gxk, iso)[0]
+        )(params, gbx_a, gbxk_a)
+        cv = cv.reshape(F * nb, 8, cv.shape[-1])
 
     rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
                               np.ones((s, 1), np.float32)))
@@ -355,35 +409,37 @@ def merge_pallas(comp_img, flow, covs, r, num, den, cfa_pattern, config,
     kernel = functools.partial(
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa,
-        hpc=comp_pad.shape[0], wpc=comp_pad.shape[1],
-        hpk=cov_pad.shape[1], wpk=cov_pad.shape[2], in_place=in_place,
-        use_slice=use_slice, pv=_PARAMVEC)
+        hpc=comp_pad.shape[1], wpc=comp_pad.shape[2],
+        hpk=cov_pad.shape[2], wpk=cov_pad.shape[3], in_place=in_place,
+        use_slice=use_slice, pv=_PARAMVEC, F=F)
 
-    acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j: (0, i, j),
+    # frames innermost: the accumulator index map ignores n, so the num/den
+    # block is revisited in place across all F frames (written back once)
+    acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j, n: (0, i, j),
                             memory_space=pltpu.VMEM)
     pv_specs = [
-        pl.BlockSpec((1, 1, (NTXP // XG) * 8), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, F * (NTXP // XG) * 8), lambda i, j, n: (i, 0, 0),
                      memory_space=pltpu.SMEM),       # group bases + fits
-        pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, NTXP * 2), lambda i, j, n: (n * nb + i, 0, 0),
                      memory_space=pltpu.SMEM),       # per-tile slice offsets
-        pl.BlockSpec((1, 8, XG * B), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, 8, XG * B), lambda i, j, n: (n * nb + i, 0, j),
                      memory_space=pltpu.VMEM),       # int lane planes
-        pl.BlockSpec((1, 8, XG * B), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, 8, XG * B), lambda i, j, n: (n * nb + i, 0, j),
                      memory_space=pltpu.VMEM),       # f32 lane planes
-        pl.BlockSpec((1, 8, CW), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, 8, CW), lambda i, j, n: (n * nb + i, 0, j),
                      memory_space=pltpu.VMEM),       # column-source planes
     ] if _PARAMVEC else []
     grid_spec = pl.GridSpec(
-        grid=(nb, NTXP // XG),
+        grid=(nb, NTXP // XG, F),
         in_specs=[
             # per-row SMEM parameter blocks (full prefetch would blow SMEM)
-            pl.BlockSpec((1, 1, NTXP * 14), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, NTXP * 14), lambda i, j, n: (n * nb + i, 0, 0),
                          memory_space=pltpu.SMEM),   # params row
-            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j, n: (n * nb + i, 0, 0),
                          memory_space=pltpu.SMEM),   # flow row
-            pl.BlockSpec(memory_space=pltpu.HBM),    # comp_pad
-            pl.BlockSpec(memory_space=pltpu.HBM),    # cov_pad
-            pl.BlockSpec((Ts, XG * Ts), lambda i, j: (i, j),
+            pl.BlockSpec(memory_space=pltpu.HBM),    # comp_pad (F, hpc, wpc)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # cov_pad (F, 3, ...)
+            pl.BlockSpec((1, Ts, XG * Ts), lambda i, j, n: (n, i, j),
                          memory_space=pltpu.VMEM),   # r tile group
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rry
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rrx
@@ -498,7 +554,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         rry, rrx, *refs,
                         s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
                         n_ch, cfa, hpc, wpc, hpk, wpk, in_place, use_slice,
-                        pv=False):
+                        pv=False, F=1):
     """One output row-group of XG tiles.
 
     Window fetches use ONE speculative group DMA per program for the
@@ -530,6 +586,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         xup_c = xup_k = None
     sem_c, sem_k, gsem_c, gsem_k = refs
     jg_ = pl.program_id(1)
+    n_ = pl.program_id(2)
     half = jnp.float32(0.5)
     sg = s * g
     SEG = B + 2 * s
@@ -589,10 +646,10 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     nj = pl.num_programs(1)
 
     if pv:
-        def bases_of(jg2):
+        def bases_of(jg2, n2):
             # values are pre-aligned; the //8*8 / //128*128 forms re-prove
             # the alignment to Mosaic (SMEM loads carry no divisibility)
-            b0 = jg2 * 8
+            b0 = (n2 * nj + jg2) * 8
             c = ((gvec_ref[0, 0, b0 + 0] // 8) * 8,
                  (gvec_ref[0, 0, b0 + 1] // 128) * 128)
             if iso:
@@ -600,7 +657,9 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             return c, ((gvec_ref[0, 0, b0 + 2] // 8) * 8,
                        (gvec_ref[0, 0, b0 + 3] // 128) * 128)
     else:
-        def bases_of(jg2):
+        def bases_of(jg2, n2):
+            # non-pv supports F == 1 only (asserted host-side): params_ref
+            # holds just the current frame's row, so n2 is always == n_
             ys = [params_ref[0, 0, (jg2 * XG + t) * 14 + 0]
                   for t in range(XG)]
             xs = [params_ref[0, 0, (jg2 * XG + t) * 14 + 1]
@@ -618,40 +677,43 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                  ((mxxk - gbxk) <= GCOLS - CWIN)
             return (gby, gbx, fc), (gbyk, gbxk, fk)
 
-    def issue(jg2, sl):
-        c, kk = bases_of(jg2)
+    def issue(jg2, n2, sl):
+        c, kk = bases_of(jg2, n2)
         pltpu.make_async_copy(
-            comp_ref.at[pl.ds(c[0], GR_C), pl.ds(c[1], GCOLS)],
+            comp_ref.at[n2, pl.ds(c[0], GR_C), pl.ds(c[1], GCOLS)],
             gwin_c.at[sl], gsem_c.at[sl]).start()
         if not iso:
             pltpu.make_async_copy(
-                cov_ref.at[:, pl.ds(kk[0], GR_K), pl.ds(kk[1], GCOLS)],
+                cov_ref.at[n2, :, pl.ds(kk[0], GR_K), pl.ds(kk[1], GCOLS)],
                 gwin_k.at[sl], gsem_k.at[sl]).start()
 
-    c, kk = bases_of(jg_)
+    c, kk = bases_of(jg_, n_)
     if pv:
         gby, gbx = c
-        fit_c = gvec_ref[0, 0, jg_ * 8 + 4] > 0
+        fit_c = gvec_ref[0, 0, (n_ * nj + jg_) * 8 + 4] > 0
         if not iso:
             gbyk, gbxk = kk
-            fit_k = gvec_ref[0, 0, jg_ * 8 + 5] > 0
+            fit_k = gvec_ref[0, 0, (n_ * nj + jg_) * 8 + 5] > 0
     else:
         gby, gbx, fit_c = c
         if not iso:
             gbyk, gbxk, fit_k = kk
 
-    slot = jax.lax.rem(jg_, 2)
+    # linear step index within a tile row: frames innermost, then groups
+    lin = jg_ * F + n_
+    slot = jax.lax.rem(lin, 2)
 
-    @pl.when(jg_ == 0)
+    @pl.when(lin == 0)
     def _():
-        issue(jg_, slot)
+        issue(jg_, n_, slot)
 
-    @pl.when(jg_ + 1 < nj)
+    @pl.when(lin + 1 < nj * F)
     def _():
-        issue(jg_ + 1, 1 - slot)
+        nxt = lin + 1
+        issue(nxt // F, jax.lax.rem(nxt, F), 1 - slot)
 
     pltpu.make_async_copy(
-        comp_ref.at[pl.ds(gby, GR_C), pl.ds(gbx, GCOLS)],
+        comp_ref.at[n_, pl.ds(gby, GR_C), pl.ds(gbx, GCOLS)],
         gwin_c.at[slot], gsem_c.at[slot]).wait()
     gwin_c = gwin_c.at[slot]
 
@@ -698,7 +760,8 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
         def start(t):
             pltpu.make_async_copy(
-                comp_ref.at[pl.ds(rys[t], ROWS_C), pl.ds(rxs[t], _DMA_COLS)],
+                comp_ref.at[n_, pl.ds(rys[t], ROWS_C),
+                            pl.ds(rxs[t], _DMA_COLS)],
                 comp_win.at[t % 2], sem_c.at[t % 2]).start()
 
         start(0)
@@ -706,7 +769,8 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             if t + 1 < XG:
                 start(t + 1)
             pltpu.make_async_copy(
-                comp_ref.at[pl.ds(rys[t], ROWS_C), pl.ds(rxs[t], _DMA_COLS)],
+                comp_ref.at[n_, pl.ds(rys[t], ROWS_C),
+                            pl.ds(rxs[t], _DMA_COLS)],
                 comp_win.at[t % 2], sem_c.at[t % 2]).wait()
             Rsel = _selection_rows(SEG, ROWS_C, Pl["Syp"][t] - rys[t],
                                    Pl["phy"][t], s)
@@ -718,7 +782,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     # ---- covariance realignment/upsampling into the cc slab
     if not iso:
         pltpu.make_async_copy(
-            cov_ref.at[:, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS)],
+            cov_ref.at[n_, :, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS)],
             gwin_k2.at[slot], gsem_k.at[slot]).wait()
         gwin_k = gwin_k2.at[slot]
 
@@ -768,7 +832,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
 
             def start(t):
                 pltpu.make_async_copy(
-                    cov_ref.at[:, pl.ds(rys[t], ROWS_K),
+                    cov_ref.at[n_, :, pl.ds(rys[t], ROWS_K),
                                pl.ds(rxs[t], _DMA_COLS)],
                     cov_win.at[t % 2], sem_k.at[t % 2]).start()
 
@@ -777,7 +841,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                 if t + 1 < XG:
                     start(t + 1)
                 pltpu.make_async_copy(
-                    cov_ref.at[:, pl.ds(rys[t], ROWS_K),
+                    cov_ref.at[n_, :, pl.ds(rys[t], ROWS_K),
                                pl.ds(rxs[t], _DMA_COLS)],
                     cov_win.at[t % 2], sem_k.at[t % 2]).wait()
                 R2 = _selection_rows(CSEG, ROWS_K, Pl["S2yp"][t] - rys[t],
@@ -834,7 +898,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
                       (lr_mov_x >= 0) & (lr_mov_x < W) & (okv > 0))
 
-    local_r = _sel_dot(rry[:], _dot_sel(r_ref[:], rrx[:]))
+    local_r = _sel_dot(rry[:], _dot_sel(r_ref[0], rrx[:]))
     wr = jnp.where(inb_center, local_r, 0.0)
     dist_ref_y = lr_mov_y - half
     dist_ref_x = lr_mov_x - half
@@ -918,10 +982,25 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                 vals[0] = vals[0] + w * c
                 accs[0] = accs[0] + w
 
-    for k in range(n_ch):
-        if in_place:
-            val_ref[k] = num_ref[k] + vals[k]
-            acc_ref[k] = den_ref[k] + accs[k]
-        else:
-            val_ref[k] = vals[k]
-            acc_ref[k] = accs[k]
+    if F == 1:
+        for k in range(n_ch):
+            if in_place:
+                val_ref[k] = num_ref[k] + vals[k]
+                acc_ref[k] = den_ref[k] + accs[k]
+            else:
+                val_ref[k] = vals[k]
+                acc_ref[k] = accs[k]
+    else:
+        # frames innermost + frame-independent output index map: the block
+        # is revisited in VMEM — initialize at n == 0, accumulate after
+        @pl.when(n_ == 0)
+        def _():
+            for k in range(n_ch):
+                val_ref[k] = (num_ref[k] + vals[k]) if in_place else vals[k]
+                acc_ref[k] = (den_ref[k] + accs[k]) if in_place else accs[k]
+
+        @pl.when(n_ > 0)
+        def _():
+            for k in range(n_ch):
+                val_ref[k] = val_ref[k] + vals[k]
+                acc_ref[k] = acc_ref[k] + accs[k]

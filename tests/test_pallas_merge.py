@@ -108,6 +108,76 @@ def test_large_tile_sizes(ts):
     np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
 
 
+def _burst_inputs(seed, F, h=64, w=128, ts=16, bayer=True, flow_scale=5.0):
+    rng = np.random.RandomState(seed)
+    g = 2 if bayer else 1
+    ny, nx = -(-h // ts), -(-w // ts)
+    comp = rng.rand(F, h, w).astype(np.float32)
+    flow = (rng.rand(F, ny, nx, 2) * 2 - 1).astype(np.float32) * flow_scale
+    r = rng.rand(F, h, w).astype(np.float32)
+    gg = rng.rand(F, h // g, w // g, 2).astype(np.float32) + 0.3
+    cov = np.stack([gg[..., 0], 0.2 * np.sqrt(gg[..., 0] * gg[..., 1]),
+                    gg[..., 1]], axis=1).astype(np.float32)
+    return comp, flow, cov, r
+
+
+@pytest.mark.parametrize("bayer,iso", [(True, False), (True, True),
+                                       (False, False)])
+def test_burst_fused_matches_sequential(bayer, iso, seed=23, F=4):
+    """merge_burst_pallas (frames-innermost grid, VMEM-resident accumulator
+    blocks) must be BIT-EXACT vs F sequential merge_pallas calls — same slab
+    math, same f32 accumulation order."""
+    from hmsr_tpu.ops.pallas_merge import merge_burst_pallas, \
+        padded_accum_shape
+    rng = np.random.RandomState(seed)
+    h, w, ts, scale = 32, 128, 16, 2
+    c = make_config(scale, ts, bayer, iso)
+    comp, flow, cov, r = _burst_inputs(seed, F, h, w, ts, bayer)
+    n_ch = 3 if bayer else 1
+    pad_shape = padded_accum_shape(c, (h, w), n_ch)
+    num0 = jnp.asarray(rng.rand(*pad_shape).astype(np.float32))
+    den0 = jnp.asarray(rng.rand(*pad_shape).astype(np.float32))
+
+    num, den = num0, den0
+    for n in range(F):
+        num, den = merge_pallas(
+            jnp.asarray(comp[n]), jnp.asarray(flow[n]), jnp.asarray(cov[n]),
+            jnp.asarray(r[n]), num, den, CFA, c, interpret=True)
+    got_n, got_d = merge_burst_pallas(
+        jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(cov),
+        jnp.asarray(r), num0, den0, CFA, c, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(num))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(den))
+
+
+def test_burst_chunked_padding(seed=29, F=5, fc=3):
+    """_merge_burst_chunked pads the burst to a chunk multiple with
+    zero-robustness frames — the result must equal the unpadded sequential
+    accumulation exactly."""
+    from hmsr_tpu.models.pipeline import _merge_burst_chunked
+    from hmsr_tpu.ops.pallas_merge import padded_accum_shape
+    rng = np.random.RandomState(seed)
+    h, w, ts, scale = 32, 128, 16, 2
+    c = make_config(scale, ts, True, False)
+    c.tpu.merge_chunk = fc
+    c.tpu.pallas_interpret = True
+    comp, flow, cov, r = _burst_inputs(seed, F, h, w, ts, True)
+    pad_shape = padded_accum_shape(c, (h, w), 3)
+    num0 = jnp.asarray(rng.rand(*pad_shape).astype(np.float32))
+    den0 = jnp.asarray(rng.rand(*pad_shape).astype(np.float32))
+
+    num, den = num0, den0
+    for n in range(F):
+        num, den = merge_pallas(
+            jnp.asarray(comp[n]), jnp.asarray(flow[n]), jnp.asarray(cov[n]),
+            jnp.asarray(r[n]), num, den, CFA, c, interpret=True)
+    got_n, got_d = _merge_burst_chunked(
+        jnp.asarray(comp), jnp.asarray(flow), jnp.asarray(cov),
+        jnp.asarray(r), num0, den0, CFA, c)
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(num))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(den))
+
+
 @pytest.mark.parametrize("nb", [2, 3])
 def test_banded_row_offset(nb, seed=17):
     """Band-of-tile-rows accumulation (the space-sharded layout): running

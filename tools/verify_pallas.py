@@ -150,6 +150,31 @@ def main():
         results.append(check(f"merge[den] ts={ts}",
                              got[1][:, :s * h, :s * w], want[1]))
 
+        # ---- burst-fused merge (frames-innermost grid) vs per-frame ----
+        from hmsr_tpu.ops.pallas_merge import merge_burst_pallas
+        F = 3
+        movs = rng.rand(F, h, w).astype(np.float32)
+        flows = (rng.rand(F, ny, nx, 2).astype(np.float32) - 0.5) * 4
+        covsF = (0.5 + rng.rand(F, 3, h // 2, w // 2)).astype(np.float32)
+        covsF[:, 1] *= 0.1
+        rF = rng.rand(F, h, w).astype(np.float32)
+
+        def seq(m, f, k, rr):
+            n, d = nump, denp
+            for i in range(F):
+                n, d = merge_pallas(m[i], f[i], k[i], rr[i], n, d, CFA,
+                                    config)
+            return n, d
+
+        want = jax.jit(seq)(jnp.asarray(movs), jnp.asarray(flows),
+                            jnp.asarray(covsF), jnp.asarray(rF))
+        got = jax.jit(lambda m, f, k, rr: merge_burst_pallas(
+            m, f, k, rr, nump, denp, CFA, config))(
+            jnp.asarray(movs), jnp.asarray(flows), jnp.asarray(covsF),
+            jnp.asarray(rF))
+        results.append(check(f"merge_burst[num] ts={ts}", got[0], want[0]))
+        results.append(check(f"merge_burst[den] ts={ts}", got[1], want[1]))
+
     ok = all(r["ok"] for r in results)
     out = {"ok": ok, "device": str(jax.devices()[0]), "results": results}
     with open(os.path.join(os.path.dirname(os.path.dirname(
