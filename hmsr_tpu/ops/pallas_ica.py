@@ -119,11 +119,17 @@ def _pad_moving(moving, pad, rows, mode):
                    mode="edge")
 
 
-# exact bf16x3 selection matmuls (shared with the merge kernel), plus the
-# row-realignment strategy knob (HMSR_REALIGN: "slice" default / "matmul")
-# and the vectorized-parameter switch (HMSR_PARAMVEC, see pallas_merge)
-from .pallas_merge import (_dot_sel, _sel_dot, _REALIGN, _dyn_rows,  # noqa: E402
+# exact bf16x3 selection matmuls (shared with the merge kernel) and the
+# vectorized-parameter switch (HMSR_PARAMVEC, see pallas_merge)
+from .pallas_merge import (_dot_sel, _sel_dot, _dyn_rows,  # noqa: E402
                            _PARAMVEC)
+
+# row-realignment strategy is PER KERNEL FAMILY: "slice" wins for the
+# ICA/warp kernels (small windows — the per-tile selection matmuls cost
+# more than the dyn-slice selects: align 0.974 s vs 0.928 s at 12MP) while
+# "matmul" wins for the merge kernel (2.140 s vs 2.204 s; both measured
+# in-scan on hardware). HMSR_REALIGN_ICA overrides for A/B.
+_REALIGN = _os.environ.get("HMSR_REALIGN_ICA", "slice")
 
 
 def _pv_group_bases(Sy, Sx, XG, hps, wps, VW, grows=None, gcols=None):

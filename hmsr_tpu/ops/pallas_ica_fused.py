@@ -141,8 +141,8 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
 
 
 # exact bf16x3 selection matmuls (shared with the merge kernel), plus the
-# row-realignment strategy knob (HMSR_REALIGN: "slice" default / "matmul")
-from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows  # noqa: E402
+from .pallas_merge import _dot_sel, _sel_dot, _dyn_rows  # noqa: E402
+from .pallas_ica import _REALIGN  # noqa: E402  (per-family knob: slice)
 
 
 def _ica_kernel(hp_ref, mov_ref, ref_ref, gx_ref, gy_ref, out_ref,

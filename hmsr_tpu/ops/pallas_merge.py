@@ -35,16 +35,21 @@ _DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
 import os as _os
 _XG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_XG", "2")))
 
-#: row-realignment strategy: "slice" (default) upsamples the column-aligned
-#: slab once (sublane repeat) and takes one DYNAMIC SUBLANE SLICE per tile —
-#: Mosaic allows runtime sublane starts, only the lane dim must be static;
-#: "matmul" keeps the per-tile 0/1 selection matmuls (XG tiny MXU ops per
-#: program x 3 bf16 passes — the previous implementation, kept for A/B).
-_REALIGN = _os.environ.get("HMSR_REALIGN", "slice")
+#: row-realignment strategy: "matmul" (default) uses per-tile 0/1 selection
+#: matmuls (XG small MXU ops per program x 3 bf16 passes — the MXU is idle
+#: during the VPU-bound slab phase, so these are nearly free; measured 64 ms
+#: faster than "slice" on the 12MP merge stage); "slice" upsamples the
+#: column-aligned slab once (sublane repeat) and takes one dynamic sublane
+#: slice per tile (8 masked shifted adds per tile on the VPU — the
+#: contended unit).
+_REALIGN = _os.environ.get("HMSR_REALIGN", "matmul")
 
-#: group-window width: covers the XG x-adjacent tile windows of a program
-#: plus 128-alignment slack, for every supported (tile_size, scale) pair
-_GCOLS_M = 512
+def _gcols(span):
+    """Group-window width for an XG-tile x-span: the windows' column extent
+    plus one 128-lane tile of base-alignment slack, rounded to 128 lanes.
+    (Comp and cov windows get their own width — the cov grid's span is g
+    times narrower, so one shared constant wasted ~25% of the cov DMA.)"""
+    return (-(-span // 128)) * 128 + 128
 
 #: vectorized parameter planes (default ON; HMSR_PARAMVEC=0 reverts): every
 #: per-tile quantity the slab phase needs is precomputed on the XLA side as
@@ -53,6 +58,13 @@ _GCOLS_M = 512
 #: loads + XG-deep min/max chains dominated the per-program fixed cost:
 #: measured ~2.5 us/program via the Ts=16 vs Ts=32 bench delta).
 _PARAMVEC = _os.environ.get("HMSR_PARAMVEC", "1") != "0"
+
+#: DIAGNOSTIC ONLY (tools/bisect_pipeline.py): stub out parts of the merge
+#: kernel to attribute its per-program time. Values: "" (off, production),
+#: "noexp" (replace exp with a linear ramp), "notap" (skip the 9-tap loop),
+#: "nocov" (skip covariance realign/interp, use iso weights). Output is
+#: WRONG under any non-empty value.
+_DIAG = _os.environ.get("HMSR_MERGE_DIAG", "")
 
 
 def _dma_rows(win):
@@ -99,7 +111,7 @@ def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
 
 
 def _group_bases(params, XG, GR_C, GCOLS, hpc, wpc, WIN,
-                 GR_K, hpk, wpk, CWIN, iso):
+                 GR_K, hpk, wpk, CWIN, iso, GCOLS_K=None):
     """Per-(row, group) speculative DMA bases + fit flags, precomputed.
 
     Mirrors the kernel's ``bounds()`` / ``fit`` logic exactly (min/max of the
@@ -122,10 +134,11 @@ def _group_bases(params, XG, GR_C, GCOLS, hpc, wpc, WIN,
     if iso:
         gbyk = gbxk = fit_k = jnp.zeros_like(gby)
     else:
+        GCOLS_K = GCOLS if GCOLS_K is None else GCOLS_K
         gbyk, mxyk = base(p[..., 4], hpk, 8, GR_K)
-        gbxk, mxxk = base(p[..., 5], wpk, 128, GCOLS)
+        gbxk, mxxk = base(p[..., 5], wpk, 128, GCOLS_K)
         fit_k = ((mxyk - gbyk <= GR_K - CWIN) &
-                 (mxxk - gbxk <= GCOLS - CWIN)).astype(jnp.int32)
+                 (mxxk - gbxk <= GCOLS_K - CWIN)).astype(jnp.int32)
     z = jnp.zeros_like(gby)
     g8 = jnp.stack([gby, gbx, gbyk, gbxk, fit_c, fit_k, z, z], axis=-1)
     return g8.reshape(nb, 1, nj * 8), (gby, gbx), (gbyk, gbxk)
@@ -277,7 +290,7 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
     s = int(config.scale)
     assert s == config.scale and s >= 1
     bayer = config.mode == "bayer"
-    iso = config.merging.kernel == "iso"
+    iso = config.merging.kernel == "iso" or _DIAG == "nocov"
     Ts = int(config.block_matching.tuning.tile_size)
     g = 2 if bayer else 1
     sg = s * g
@@ -369,13 +382,15 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
     params_flat = params.reshape(F * nb, 1, NTXP * 14)
     flow_f = flow_t.reshape(F * nb, 1, NTXP * 2)
 
+    GCOLS_C = _gcols(XG * Ts + WIN)
+    GCOLS_K = _gcols(XG * Ts // g + CWIN)
     if _PARAMVEC:
         gvec, (gby_a, gbx_a), (gbyk_a, gbxk_a) = jax.vmap(
             lambda p: _group_bases(
-                p, XG, _dma_rows(WIN) + 16, _GCOLS_M,
+                p, XG, _dma_rows(WIN) + 16, GCOLS_C,
                 comp_pad.shape[1], comp_pad.shape[2], WIN,
                 _dma_rows(CWIN) + 16, cov_pad.shape[2], cov_pad.shape[3],
-                CWIN, iso))(params)
+                CWIN, iso, GCOLS_K=GCOLS_K))(params)
         # one SMEM row per TILE ROW holding ALL frames' group bases — the
         # speculative DMA issue for the next grid step (same group, frame
         # n+1, or group j+1, frame 0) reads across the frame axis
@@ -448,8 +463,9 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),   # tile fallback
             pltpu.VMEM((2, 3, ROWS_K, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((2, ROWS_C + 16, _GCOLS_M), jnp.float32),   # comp x2
-            pltpu.VMEM((2, 3, ROWS_K + 16, _GCOLS_M), jnp.float32),  # cov x2
+            pltpu.VMEM((2, ROWS_C + 16, GCOLS_C), jnp.float32),   # comp x2
+            pltpu.VMEM((2, 3, ROWS_K + 16, GCOLS_K if not iso else 128),
+                       jnp.float32),                              # cov x2
             pltpu.VMEM((B + 2 * s, XG * (B + 2 * s)), jnp.float32),   # U slab
             pltpu.VMEM((3, B + 2 * sg, XG * (B + 2 * sg)), jnp.float32),
         ] + ([
@@ -560,7 +576,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     Window fetches use ONE speculative group DMA per program for the
     comp image (and one for the covariance grid): the XG tile windows are
     x-adjacent and flow is smooth, so they almost always fit one
-    (GROWS, _GCOLS_M) block; a per-tile-DMA fallback keeps exactness for
+    (GROWS, GCOLS) block; a per-tile-DMA fallback keeps exactness for
     wild flow. Realigned windows land in the U / covariance slabs and ALL
     remaining math (guide-grid bilinear covariance interpolation, 2x2
     inversion, 3x3 kernel-regression taps) runs on (B, XG*B) slabs.
@@ -592,7 +608,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     SEG = B + 2 * s
     CSEG = B + 2 * sg
     GR_C, GCOLS = gwin_c.shape[1], gwin_c.shape[2]
-    GR_K = gwin_k.shape[2]
+    GR_K, GCOLS_K = gwin_k.shape[2], gwin_k.shape[3]
     gwin_k2 = gwin_k
     ROWS_C = comp_win.shape[1]
     ROWS_K = cov_win.shape[2]
@@ -620,7 +636,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             fxl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
             fyl.append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
 
-    def bounds(ys, xs, GR, hp, wp):
+    def bounds(ys, xs, GR, hp, wp, gcols):
         mny = mxy = ys[0]
         mnx = mxx = xs[0]
         for t in range(1, XG):
@@ -629,7 +645,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             mnx = jnp.minimum(mnx, xs[t])
             mxx = jnp.maximum(mxx, xs[t])
         gby = (jnp.clip(mny, 0, hp - GR) // 8) * 8
-        gbx = (jnp.clip(mnx, 0, wp - GCOLS) // 128) * 128
+        gbx = (jnp.clip(mnx, 0, wp - gcols) // 128) * 128
         return gby, gbx, mxy, mxx
 
     def lanevec(vals, lane_of):
@@ -664,7 +680,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                   for t in range(XG)]
             xs = [params_ref[0, 0, (jg2 * XG + t) * 14 + 1]
                   for t in range(XG)]
-            gby, gbx, mxy, mxx = bounds(ys, xs, GR_C, hpc, wpc)
+            gby, gbx, mxy, mxx = bounds(ys, xs, GR_C, hpc, wpc, GCOLS)
             fc = ((mxy - gby) <= GR_C - WIN) & ((mxx - gbx) <= GCOLS - WIN)
             if iso:
                 return (gby, gbx, fc), None
@@ -672,9 +688,10 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                    for t in range(XG)]
             xs2 = [params_ref[0, 0, (jg2 * XG + t) * 14 + 5]
                    for t in range(XG)]
-            gbyk, gbxk, mxyk, mxxk = bounds(ys2, xs2, GR_K, hpk, wpk)
+            gbyk, gbxk, mxyk, mxxk = bounds(ys2, xs2, GR_K, hpk, wpk,
+                                            GCOLS_K)
             fk = ((mxyk - gbyk) <= GR_K - CWIN) & \
-                 ((mxxk - gbxk) <= GCOLS - CWIN)
+                 ((mxxk - gbxk) <= GCOLS_K - CWIN)
             return (gby, gbx, fc), (gbyk, gbxk, fk)
 
     def issue(jg2, n2, sl):
@@ -684,7 +701,7 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             gwin_c.at[sl], gsem_c.at[sl]).start()
         if not iso:
             pltpu.make_async_copy(
-                cov_ref.at[n2, :, pl.ds(kk[0], GR_K), pl.ds(kk[1], GCOLS)],
+                cov_ref.at[n2, :, pl.ds(kk[0], GR_K), pl.ds(kk[1], GCOLS_K)],
                 gwin_k.at[sl], gsem_k.at[sl]).start()
 
     c, kk = bases_of(jg_, n_)
@@ -782,13 +799,20 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     # ---- covariance realignment/upsampling into the cc slab
     if not iso:
         pltpu.make_async_copy(
-            cov_ref.at[n_, :, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS)],
+            cov_ref.at[n_, :, pl.ds(gbyk, GR_K), pl.ds(gbxk, GCOLS_K)],
             gwin_k2.at[slot], gsem_k.at[slot]).wait()
         gwin_k = gwin_k2.at[slot]
 
         @pl.when(fit_k)
         def _():
-            ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * CSEG), 0)
+            if _DIAG == "covfast":
+                # DIAGNOSTIC: skip the whole cov realign (wrong values,
+                # right DMA/taps) — isolates column+row realign cost
+                for ch in range(3):
+                    cc_slab[ch] = jnp.broadcast_to(
+                        gwin_k[ch, :CSEG, :1], (CSEG, XG * CSEG)) + 1.0
+                return
+            ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS_K, XG * CSEG), 0)
             if pv:
                 ck = cv_ref[0, 1:2, :XG * CSEG]
             else:
@@ -797,11 +821,16 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                 dxv = lanevec([P["S2xp"][t] - gbxk for t in range(XG)], lK)
                 phv = lanevec(P["ph2x"], lK)
                 cj = jax.lax.broadcasted_iota(
-                    jnp.int32, (GCOLS, XG * CSEG), 1)
+                    jnp.int32, (GCOLS_K, XG * CSEG), 1)
                 ck = dxv + ((cj % CSEG) + phv) // sg
             Ck = (ci == ck).astype(jnp.float32)
-            Yk = _dot_sel(gwin_k[:].reshape(3 * GR_K, GCOLS), Ck)
-            if xup_k is not None and CSEG + 8 <= xup_k.shape[0]:
+            Yk = _dot_sel(gwin_k[:].reshape(3 * GR_K, GCOLS_K), Ck)
+            if _DIAG == "covnorow":
+                # DIAGNOSTIC: column realign only (wrong rows) — isolates
+                # the per-tile ROW realign cost
+                for ch in range(3):
+                    cc_slab[ch] = Yk[ch * GR_K:ch * GR_K + CSEG, :]
+            elif xup_k is not None and CSEG + 8 <= xup_k.shape[0]:
                 # same repeat+dynamic-sublane-slice rewrite as the comp
                 # path, per covariance channel (bounds the scratch size)
                 for ch in range(3):
@@ -950,33 +979,60 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
         ixy = -inv_det * cc[1]
         iyy = inv_det * cc[0]
 
-    vals = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
-    accs = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+    # hoist everything that depends on only one loop index out of the 9-tap
+    # loop: the VPU is the contended unit here (measured), so the di x dj
+    # body should touch only the cross terms.
+    row_p = {}                           # per-di: bounds, parity, dy, dy^2
     for di in (-1, 0, 1):
         ig = center_i + di
-        inb_i = (ig >= 0) & (ig < H)
-        pi = ig % 2
         dist_y = ig.astype(jnp.float32) - dist_ref_y
-        for dj in (-1, 0, 1):
-            jg2 = center_j + dj
-            inb = inb_i & (jg2 >= 0) & (jg2 < W)
-            pj = jg2 % 2
-            dist_x = jg2.astype(jnp.float32) - dist_ref_x
+        row_p[di] = ((ig >= 0) & (ig < H), ig % 2, dist_y, dist_y * dist_y)
+    col_p = {}                           # per-dj: bounds, parity, dx, dx^2
+    for dj in (-1, 0, 1):
+        jg2 = center_j + dj
+        dist_x = jg2.astype(jnp.float32) - dist_ref_x
+        col_p[dj] = ((jg2 >= 0) & (jg2 < W), jg2 % 2, dist_x,
+                     dist_x * dist_x)
+    if bayer:
+        # CFA channel = cfa[ig%2, jg2%2]: tap (di, dj) has parities
+        # (center_i + di) % 2 / (center_j + dj) % 2, so the 9 taps share
+        # 4 precomputed channel-mask-plane sets keyed by (di & 1, dj & 1)
+        def masks_for(pi, pj):
+            ch = jnp.where(pi == 0,
+                           jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
+                           jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
+            return [(ch == k).astype(jnp.float32) for k in range(n_ch)]
+
+        pc, qc = row_p[0][1], col_p[0][1]
+        ch_mask = {(p, q): masks_for((pc + p) % 2, (qc + q) % 2)
+                   for p in (0, 1) for q in (0, 1)}
+
+    vals = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+    accs = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+    taps = () if _DIAG == "notap" else (-1, 0, 1)
+    if _DIAG == "notap":
+        for k in range(n_ch):
+            vals[k] = wr * U_taps[(0, 0)]
+            accs[k] = wr + 0.0
+    for di in taps:
+        inb_i, _, dist_y, dy2 = row_p[di]
+        for dj in taps:
+            inb_j, _, dist_x, dx2 = col_p[dj]
+            inb = inb_i & inb_j
             c = U_taps[(di, dj)]
             if iso:
-                z = 2.0 * (dist_x * dist_x + dist_y * dist_y)
+                z = 2.0 * (dx2 + dy2)
             else:
-                z = ixx * dist_x * dist_x + 2.0 * ixy * dist_x * dist_y \
-                    + iyy * dist_y * dist_y
+                z = ixx * dx2 + 2.0 * ixy * dist_x * dist_y + iyy * dy2
             z = jnp.maximum(z, 0.0)
-            w = jnp.exp(-0.5 * z) * wr * inb
+            if _DIAG == "noexp":
+                w = jnp.maximum(1.0 - z, 0.0) * wr * inb
+            else:
+                w = jnp.exp(-0.5 * z) * wr * inb
             if bayer:
-                ch = jnp.where(pi == 0,
-                               jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
-                               jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
-                for k in range(n_ch):
-                    mask = (ch == k).astype(jnp.float32)
-                    vals[k] = vals[k] + w * c * mask
+                wc = w * c
+                for k, mask in enumerate(ch_mask[(di & 1, dj & 1)]):
+                    vals[k] = vals[k] + wc * mask
                     accs[k] = accs[k] + w * mask
             else:
                 vals[0] = vals[0] + w * c

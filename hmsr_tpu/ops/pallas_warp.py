@@ -20,13 +20,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
-from .pallas_merge import _dot_sel, _sel_dot, _REALIGN, _dyn_rows, _PARAMVEC
+from .pallas_merge import _dot_sel, _sel_dot, _dyn_rows, _PARAMVEC
 from .pallas_ica import _pv_group_bases, _pv_csrc
 
 _DMA_COLS = 256
 
-# program width multiplier (see pallas_ica._XG_MULT)
 import os as _os
+
+# "slice" wins for this kernel family (see pallas_ica); HMSR_REALIGN_WARP
+# overrides for A/B.
+_REALIGN = _os.environ.get("HMSR_REALIGN_WARP", "slice")
+
+# program width multiplier (see pallas_ica._XG_MULT)
 _XG_MULT = max(1, int(_os.environ.get("HMSR_WARP_XG", "1")))
 
 
@@ -408,14 +413,18 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
         r0 = ch * SEG + u * (di + 1)
         return taps_dj[dj + 1][r0:r0 + Ts, :]
 
+    # hoist the 1-D Dodgson weights: each depends on a single loop index,
+    # so 3 + 3 kernel evaluations replace 3 + 9 (the VPU is the contended
+    # unit; _dogson is ~8 vector ops per evaluation)
+    wys = [_dogson(jnp.clip(center_y + di, 0, lh - 1).astype(jnp.float32)
+                   - lr_y) for di in (-1, 0, 1)]         # (Ts, L) each
+    wxs = [_dogson(jnp.clip(center_x + dj, 0, lw - 1).astype(jnp.float32)
+                   - lr_x) for dj in (-1, 0, 1)]
     acc = [jnp.zeros((Ts, L), jnp.float32) for _ in range(c)]
     w_acc = jnp.zeros((Ts, L), jnp.float32)
     for di in (-1, 0, 1):
-        yc = jnp.clip(center_y + di, 0, lh - 1).astype(jnp.float32)
-        wy = _dogson(yc - lr_y)                          # (Ts, L)
         for dj in (-1, 0, 1):
-            xc = jnp.clip(center_x + dj, 0, lw - 1).astype(jnp.float32)
-            wgt = wy * _dogson(xc - lr_x)                # (Ts, L)
+            wgt = wys[di + 1] * wxs[dj + 1]              # (Ts, L)
             for ch in range(c):
                 acc[ch] = acc[ch] + tap(ch, di, dj) * wgt
             w_acc = w_acc + wgt
