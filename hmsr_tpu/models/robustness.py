@@ -49,22 +49,46 @@ class RefStats(NamedTuple):
     valid: jnp.ndarray     # (H, W) bool — False where the warp left the grid
 
 
-def compute_guide_image(raw, cfa_pattern, white_balance):
+def compute_guide_image(raw, cfa_pattern, white_balance, impl="auto"):
     """Bayer quad -> half-res RGB with white balance undone (Alg. 7).
 
     ``cfa_pattern``: static 2x2 numpy int array; ``white_balance``: length-3+
     gains (indexed by channel). Returns (3, H/2, W/2).
+
+    ``impl``: "slices" extracts the four quad phases with strided slices
+    (lane-stride-2 deinterleaves — cheap everywhere but TPU, where Mosaic
+    lowers them to cross-lane shuffles measured at ~8 ms/frame at 12MP);
+    "matmul" extracts the column phases with 0/1 selection matmuls on the
+    idle MXU (bit-exact: the selection is exact in bf16 and the raw data
+    rides an exact bf16x3 split); "auto" picks matmul on TPU.
     """
     h, w = raw.shape
     cfa = np.asarray(cfa_pattern, dtype=np.int64)
-    quads = raw[: (h // 2) * 2, : (w // 2) * 2].reshape(h // 2, 2, w // 2, 2)
+    if impl == "auto":
+        try:
+            impl = "matmul" if jax.devices()[0].platform in ("tpu", "axon") \
+                else "slices"
+        except Exception:
+            impl = "slices"
+
+    if impl == "matmul":
+        from ..ops.grey import _sel_dot_cols
+        h2, w2 = h // 2, w // 2
+        # column phases via selection matmuls (lane dim — the expensive
+        # one); row phases via sublane-stride slices (cheap)
+        cols = [_sel_dot_cols(raw[:2 * h2], w, w2, j) for j in (0, 1)]
+        phases = {(i, j): cols[j][i::2] for i in (0, 1) for j in (0, 1)}
+    else:
+        quads = raw[: (h // 2) * 2, : (w // 2) * 2].reshape(
+            h // 2, 2, w // 2, 2)
+        phases = {(i, j): quads[:, i, :, j] for i in (0, 1) for j in (0, 1)}
 
     chans = [None, None, None]
     green = 0.0
     for i in range(2):
         for j in range(2):
             c = int(cfa[i, j])
-            x = quads[:, i, :, j] / white_balance[c]
+            x = phases[(i, j)] / white_balance[c]
             if c == 1:
                 green = green + x
             else:

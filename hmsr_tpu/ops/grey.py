@@ -149,9 +149,74 @@ def fft_lowpass_grey_matmul(img):
     return out.astype(DEFAULT_FLOAT)
 
 
-def decimate_to_grey(img):
-    """2x2 mean over each Bayer quad -> (h/2, w/2) grey image."""
+def _sel_dot_cols(x, w, w2, phase):
+    """Exact ``x[:, phase::2]`` (w -> w2 columns) as a selection matmul.
+
+    Lane-stride-2 slices lower to cross-lane shuffles on TPU (measured
+    ~8 ms/frame in the 12MP guide-image path); the MXU runs the equivalent
+    (h, w) @ (w, w2) 0/1 selection faster. Exact: the selection is 0/1
+    (bf16-exact) and the data rides an exact bf16x3 split. The selection
+    matrix is built from iotas on device (a big host constant would blow
+    the remote-compile payload, CLAUDE.md HTTP 413 gotcha).
+    """
+    import jax
+    ii = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 1)
+    sel = (ii == 2 * jj + phase).astype(jnp.float32)
+
+    mask = jnp.int32(-65536)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    h_ = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+    r_ = x - h_
+    rbits = jax.lax.bitcast_convert_type(r_, jnp.int32)
+    m_ = jax.lax.bitcast_convert_type(rbits & mask, jnp.float32)
+    l_ = r_ - m_
+    d = lambda p: jnp.dot(p, sel, preferred_element_type=jnp.float32)
+    return (d(h_) + d(m_)) + d(l_)
+
+
+def decimate_to_grey(img, impl="auto"):
+    """2x2 mean over each Bayer quad -> (h/2, w/2) grey image.
+
+    On TPU the quad reduction runs as two 0.5-valued selection matmuls
+    (column pairs then row pairs) — the strided-reshape form lowers to
+    cross-lane shuffles (same pathology as the guide image, ~6x slower at
+    12MP). Each matmul is exact (0.5 is bf16-exact, the data rides an
+    exact bf16x3 split); the result differs from the reshape form by at
+    most 1 ulp (the column means round before the row means — a different
+    but equally valid summation order for the same 4-tap mean).
+    """
+    import jax
     h, w = img.shape
+    if impl == "auto":
+        impl = "matmul" if _grey_matmul_default() else "reshape"
+    if impl == "matmul":
+        h2, w2 = h // 2, w // 2
+        x = img[:2 * h2, :2 * w2].astype(DEFAULT_FLOAT)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (2 * w2, w2), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (2 * w2, w2), 1)
+        sc = jnp.where(ii // 2 == jj, jnp.float32(0.5), 0.0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (h2, 2 * h2), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (h2, 2 * h2), 1)
+        sr = jnp.where(rj // 2 == ri, jnp.float32(0.5), 0.0)
+
+        mask = jnp.int32(-65536)
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        hp = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+        r_ = x - hp
+        rb = jax.lax.bitcast_convert_type(r_, jnp.int32)
+        mp = jax.lax.bitcast_convert_type(rb & mask, jnp.float32)
+        lp = r_ - mp
+        d = lambda p: jnp.dot(p, sc, preferred_element_type=jnp.float32)
+        y = (d(hp) + d(mp)) + d(lp)                 # (h, w2) column means
+        bits = jax.lax.bitcast_convert_type(y, jnp.int32)
+        hp = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+        r_ = y - hp
+        rb = jax.lax.bitcast_convert_type(r_, jnp.int32)
+        mp = jax.lax.bitcast_convert_type(rb & mask, jnp.float32)
+        lp = r_ - mp
+        d2 = lambda p: jnp.dot(sr, p, preferred_element_type=jnp.float32)
+        return ((d2(hp) + d2(mp)) + d2(lp)).astype(DEFAULT_FLOAT)
     quads = img[: (h // 2) * 2, : (w // 2) * 2].reshape(h // 2, 2, w // 2, 2)
     return jnp.mean(quads, axis=(1, 3)).astype(DEFAULT_FLOAT)
 

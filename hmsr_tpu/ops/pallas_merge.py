@@ -763,11 +763,14 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             Pl = read_P() if pv else P
             ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
             rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
+            xh, xm, xl = _f32_parts(X)          # split hoisted out of the loop
             for t in range(XG):
                 Rsel = (rj == (Pl["Syp"][t] - gby) +
                         (ri + Pl["phy"][t]) // s).astype(jnp.float32)
-                u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
-                    Rsel, X[:, t * SEG:(t + 1) * SEG])
+                sl = slice(t * SEG, (t + 1) * SEG)
+                d = lambda p: jnp.dot(Rsel, p[:, sl],
+                                      preferred_element_type=jnp.float32)
+                u_slab[:, sl] = (d(xh) + d(xm)) + d(xl)
 
     @pl.when(jnp.logical_not(fit_c))
     def _():
@@ -842,16 +845,30 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = \
                             _dyn_rows(xup_k, off, CSEG, t * CSEG, CSEG)
             else:
+                # per-tile row realign of all 3 channels in ONE selection
+                # matmul: block-diagonal R3 = kron(I3, R2_t) applied to the
+                # channel-stacked column slice (3 MXU ops per tile instead
+                # of 9; the f32 split of Yk is hoisted out of the loop)
                 Pl = read_P() if pv else P
-                ri = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 0)
-                rj = jax.lax.broadcasted_iota(jnp.int32, (CSEG, GR_K), 1)
+                ri3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * CSEG, 3 * GR_K), 0)
+                rj3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * CSEG, 3 * GR_K), 1)
+                samech = (ri3 // CSEG) == (rj3 // GR_K)
+                i3 = ri3 % CSEG
+                j3 = rj3 % GR_K
+                yh, ym, yl = _f32_parts(Yk)
                 for t in range(XG):
-                    R2 = (rj == (Pl["S2yp"][t] - gbyk) +
-                          (ri + Pl["ph2y"][t]) // sg).astype(jnp.float32)
+                    R3 = (samech &
+                          (j3 == (Pl["S2yp"][t] - gbyk) +
+                           (i3 + Pl["ph2y"][t]) // sg)).astype(jnp.float32)
+                    sl = slice(t * CSEG, (t + 1) * CSEG)
+                    d = lambda p: jnp.dot(
+                        R3, p[:, sl], preferred_element_type=jnp.float32)
+                    out3 = (d(yh) + d(ym)) + d(yl)
                     for ch in range(3):
-                        cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
-                            R2, Yk[ch * GR_K:(ch + 1) * GR_K,
-                                   t * CSEG:(t + 1) * CSEG])
+                        cc_slab[ch, :, sl] = \
+                            out3[ch * CSEG:(ch + 1) * CSEG]
 
         @pl.when(jnp.logical_not(fit_k))
         def _():

@@ -235,3 +235,39 @@ class TestGreyMatmul:
         out2, _ = process_arrays(frames[0], frames[1:], config)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    atol=1e-6)
+
+
+class TestMxuDeinterleave:
+    """The TPU lowers strided lane slices to cross-lane shuffles (~6x slower
+    at 12MP), so guide-image/decimate/pyramid get MXU selection-matmul
+    twins. These pin them to the slice forms on CPU."""
+
+    def test_guide_image_matmul_exact(self):
+        from hmsr_tpu.models.robustness import compute_guide_image
+        rng = np.random.RandomState(3)
+        raw = jnp.asarray(rng.rand(64, 96).astype(np.float32))
+        cfa = np.array([[0, 1], [1, 2]])
+        wb = [1.9, 1.0, 1.7]
+        a = compute_guide_image(raw, cfa, wb, impl="slices")
+        b = compute_guide_image(raw, cfa, wb, impl="matmul")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_decimate_matmul_one_ulp(self):
+        from hmsr_tpu.ops.grey import decimate_to_grey
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.rand(62, 96).astype(np.float32))
+        a = np.asarray(decimate_to_grey(x, impl="reshape"))
+        b = np.asarray(decimate_to_grey(x, impl="matmul"))
+        assert a.shape == b.shape
+        # different (equally valid) summation order of the 4-tap mean
+        np.testing.assert_allclose(a, b, rtol=3e-7, atol=0)
+
+    def test_pyramid_matmul_close(self):
+        from hmsr_tpu.ops.pyramid import downsample
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.rand(300, 400).astype(np.float32))
+        for f in (2, 4):
+            a = np.asarray(downsample(x, f, impl="slices"))
+            b = np.asarray(downsample(x, f, impl="matmul"))
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=0, atol=5e-7)
