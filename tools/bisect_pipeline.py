@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Bisect which pipeline stage crashes the TPU worker at full scale.
 
-Usage: python tools/bisect_pipeline.py <stage> [HxW] [N]
+Usage: python tools/bisect_pipeline.py <stage>[,<stage>...] [HxW] [N]
   stage in: upload, grey, align, rob, kern, merge, mergeref, all
+A comma-separated list sweeps several stages in ONE process (shared device
+init + burst upload) — each stage still compiles its own program.
 Each invocation builds a reduced pipeline that runs stages up to <stage>
 inside the scan and fetches a small checksum (sum) as the honest readback.
 """
@@ -27,7 +29,7 @@ def main():
     from hmsr_tpu.ops.grey import compute_grey_image
     from hmsr_tpu.utils.types import DEFAULT_FLOAT
 
-    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    stages = (sys.argv[1] if len(sys.argv) > 1 else "all").split(",")
     H, W = map(int, (sys.argv[2] if len(sys.argv) > 2 else "3000x4000").split("x"))
     N = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
@@ -78,6 +80,22 @@ def main():
     merge_fn = select_merge(config)
     merge_ref_fn = select_merge_ref(config)
 
+    ref_d = jnp.asarray(frames[0])
+    comps_d = jnp.asarray(frames[1:])
+    for stage in stages:
+        measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
+                merge_fn, merge_ref_fn, H, W)
+
+
+def measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
+            merge_fn, merge_ref_fn, H, W):
+    from hmsr_tpu.models.alignment import align, init_alignment
+    from hmsr_tpu.models.robustness import compute_robustness, init_robustness
+    from hmsr_tpu.models.kernels import estimate_kernels
+    from hmsr_tpu.ops.grey import compute_grey_image
+    from hmsr_tpu.utils.types import DEFAULT_FLOAT
+    N = comps_d.shape[0] + 1
+
     def run(ref_img, comps):
         ref_grey = compute_grey_image(ref_img, "FFT")
         astate = init_alignment(ref_grey, config) if stage not in ("upload", "grey") else None
@@ -123,8 +141,6 @@ def main():
         return jnp.sum(ys)
 
     fn = jax.jit(run)
-    ref_d = jnp.asarray(frames[0])
-    comps_d = jnp.asarray(frames[1:])
     perturb = jax.jit(lambda x, e: x + e)
     t0 = time.time()
     out = fn(ref_d, comps_d)
