@@ -50,9 +50,24 @@ _GCOLS = 512
 # (worse on adversarial random flow, where the group fallback dominates).
 _XG_MULT = max(1, int(_os.environ.get("HMSR_ICA_XG", "2")))
 
+# program HEIGHT: YG tile ROWS per program (sublane batching). The fine
+# alignment levels are bound by per-program fixed cost (~3-5 us: grid
+# dispatch, DMA waits, tiny-matmul latency), not by vector throughput —
+# stacking tile rows into the sublane dimension amortizes that cost over
+# YG x more tiles and makes every realign/tap matmul YG x taller (the MXU
+# prefers tall operands). Capped at 4 (2 output rows per tile row must fit
+# the (8, 128) out block) and requires the vectorized parameter planes.
+_YG_MULT = max(1, int(_os.environ.get("HMSR_ICA_YG", "4")))
+
 
 def _xg(ts):
     return _XG_MULT * max(1, 128 // int(np.gcd(int(ts), 128)))
+
+
+def _yg(ts):
+    if not _PARAMVEC:
+        return 1
+    return max(1, min(_YG_MULT, 64 // int(ts), 4))
 
 
 #: tile-count threshold above which ``align`` picks these kernels over the
@@ -83,10 +98,11 @@ def prep_ica_pallas(ref_lvl, ica_state, flow_shape, tile_size):
     ts = int(tile_size)
     XG = _xg(ts)
     NTXP = -(-nx // XG) * XG
+    nyP = -(-ny // _yg(ts)) * _yg(ts)   # row padding for the YG row blocks
 
     def tiles(a):
         return jnp.pad(a[:ny * ts, :nx * ts],
-                       ((0, 0), (0, (NTXP - nx) * ts)))
+                       ((0, (nyP - ny) * ts), (0, (NTXP - nx) * ts)))
 
     hs = ica_state.hessian
     a00 = hs[..., 0, 0]
@@ -132,69 +148,82 @@ from .pallas_merge import (_dot_sel, _sel_dot, _dyn_rows,  # noqa: E402
 _REALIGN = _os.environ.get("HMSR_REALIGN_ICA", "slice")
 
 
-def _pv_group_bases(Sy, Sx, XG, hps, wps, VW, grows=None, gcols=None):
+def _pv_group_bases(Sy, Sx, XG, hps, wps, VW, grows=None, gcols=None, yg=1):
     """XLA-side twin of the kernel's ``group_base`` + fit test.
 
-    ``Sy``/``Sx``: (ny, NTXP) clipped window corners. Returns the SMEM
-    gvec (ny, 1, nj*4) [gby, gbx, fit, 0] and (gby, gbx) (ny, nj) for
-    building per-tile row offsets / column-source lanes.
+    ``Sy``/``Sx``: (ny, NTXP) clipped window corners. With ``yg`` > 1 a
+    group spans a (yg, XG) tile block (ny must be a multiple of yg).
+    Returns the SMEM gvec (ny//yg, 1, nj*4) [gby, gbx, fit, 0] and
+    (gby, gbx) (ny//yg, nj) for building per-tile row offsets /
+    column-source lanes.
     """
     grows = _GROWS if grows is None else grows
     gcols = _GCOLS if gcols is None else gcols
     ny, NTXP = Sy.shape
     nj = NTXP // XG
-    sy = Sy.reshape(ny, nj, XG)
-    sx = Sx.reshape(ny, nj, XG)
-    gby = (jnp.clip(jnp.min(sy, 2), 0, hps - grows) // 8) * 8
-    gbx = (jnp.clip(jnp.min(sx, 2), 0, wps - gcols) // 128) * 128
-    fit = ((jnp.max(sy, 2) - gby <= grows - VW) &
-           (jnp.max(sx, 2) - gbx <= gcols - VW)).astype(jnp.int32)
+    nb = ny // yg
+    sy = Sy.reshape(nb, yg, nj, XG)
+    sx = Sx.reshape(nb, yg, nj, XG)
+    gby = (jnp.clip(jnp.min(sy, (1, 3)), 0, hps - grows) // 8) * 8
+    gbx = (jnp.clip(jnp.min(sx, (1, 3)), 0, wps - gcols) // 128) * 128
+    fit = ((jnp.max(sy, (1, 3)) - gby <= grows - VW) &
+           (jnp.max(sx, (1, 3)) - gbx <= gcols - VW)).astype(jnp.int32)
     z = jnp.zeros_like(gby)
-    gvec = jnp.stack([gby, gbx, fit, z], -1).reshape(ny, 1, nj * 4)
+    gvec = jnp.stack([gby, gbx, fit, z], -1).reshape(nb, 1, nj * 4)
     return gvec, gby, gbx
 
 
-def _pv_csrc(Sx, gbx, XG, VW, ph=None, rep=1):
+def _pv_csrc(Sx, gbx, XG, VW, ph=None, rep=1, yg=1):
     """Column-source lane row ``(Sx[t] - gbx) + ((l % VW) + ph[t]) // rep``
-    (ny, nj*CW) i32, CW 128-aligned; twin of the kernels'
-    ``dxv + ((cj % VW) + phv) // rep`` (``ph=None``: pure shift)."""
+    (ny//yg, yg, nj, CW) i32, CW 128-aligned; twin of the kernels'
+    ``dxv + ((cj % VW) + phv) // rep`` (``ph=None``: pure shift).
+    ``gbx`` is per (row-block, group): (ny//yg, nj)."""
     ny, NTXP = Sx.shape
     nj = NTXP // XG
+    nb = ny // yg
     CW = -(-(XG * VW) // 128) * 128
-    c = jnp.arange(VW, dtype=jnp.int32)[None, None, None, :]
+    c = jnp.arange(VW, dtype=jnp.int32)[None, None, None, None, :]
     if ph is not None:
-        c = (c + ph.reshape(ny, nj, XG, 1)) // rep
-    v = (Sx.reshape(ny, nj, XG, 1) - gbx[:, :, None, None]) + c
-    v = v.reshape(ny, nj, XG * VW)
-    return jnp.pad(v, ((0, 0), (0, 0), (0, CW - XG * VW))), CW
+        c = (c + ph.reshape(nb, yg, nj, XG, 1)) // rep
+    v = (Sx.reshape(nb, yg, nj, XG, 1) - gbx[:, None, :, None, None]) + c
+    v = v.reshape(nb, yg, nj, XG * VW)
+    return jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, CW - XG * VW))), CW
 
 
-def _pv_pack(Syc, Sxc, XG, hps, wps, VW, lane_div, ny, NTXP, lane_rows):
+def _pv_pack(Syc, Sxc, XG, hps, wps, VW, lane_div, ny, NTXP, lane_rows,
+             yg=1, grows=None, gcols=None):
     """Build the PARAMVEC operands + specs for a realign-based kernel.
 
     ``lane_rows``: int32 (ny, NTXP) per-tile values, each broadcast over
-    ``lane_div`` lanes (iv rows 1..; row 0 is the column-source row; f32
-    values enter bitcast to int32 and are bitcast back in the kernel).
+    ``lane_div`` lanes (iv rows ``rb*8 + 1..``; row ``rb*8`` is row-block
+    rb's column-source row; f32 values enter bitcast to int32 and are
+    bitcast back in the kernel). ``ny`` must be a multiple of ``yg``.
     Returns ([gvec, offs, iv], specs, CW).
     """
-    gvec, gby, gbx = _pv_group_bases(Syc, Sxc, XG, hps, wps, VW)
-    offs = (Syc - jnp.repeat(gby, XG, axis=1)).reshape(ny, 1, NTXP)
-    csrc, CW = _pv_csrc(Sxc, gbx, XG, VW)
+    nb = ny // yg
+    gvec, gby, gbx = _pv_group_bases(Syc, Sxc, XG, hps, wps, VW,
+                                     grows=grows, gcols=gcols, yg=yg)
+    gby_t = jnp.repeat(jnp.repeat(gby, XG, axis=1).reshape(nb, 1, NTXP),
+                       yg, axis=1)
+    offs = (Syc.reshape(nb, yg, NTXP) - gby_t).reshape(nb, 1, yg * NTXP)
+    csrc, CW = _pv_csrc(Sxc, gbx, XG, VW, yg=yg)      # (nb, yg, nj, CW)
     nj = NTXP // XG
     L = XG * lane_div
     assert L <= CW and len(lane_rows) <= 7
     rows = [csrc]
     for v in lane_rows:
-        r = jnp.repeat(v, lane_div, axis=1).reshape(ny, nj, L)
-        rows.append(jnp.pad(r, ((0, 0), (0, 0), (0, CW - L))))
+        r = jnp.repeat(v, lane_div, axis=1).reshape(nb, yg, nj, L)
+        rows.append(jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, CW - L))))
     rows += [jnp.zeros_like(rows[0])] * (8 - len(rows))
-    iv = jnp.stack(rows, axis=1).reshape(ny, 8, nj * CW)
+    # (nb, yg, 8, nj, CW) -> (nb, yg*8, nj*CW): block (1, yg*8, CW) at
+    # (i, 0, j) holds row-block rb's planes at sublanes [rb*8, rb*8+8)
+    iv = jnp.stack(rows, axis=2).reshape(nb, yg * 8, nj * CW)
     specs = [
         pl.BlockSpec((1, 1, nj * 4), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, NTXP), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, yg * NTXP), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 8, CW), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, yg * 8, CW), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
     ]
     return [gvec, offs, iv], specs, CW
@@ -203,17 +232,20 @@ def _pv_pack(Syc, Sxc, XG, hps, wps, VW, lane_div, ny, NTXP, lane_rows):
 class _PvRealign(NamedTuple):
     """Precomputed realignment parameters threaded into _kernel_realign."""
     gvec_ref: object      # SMEM (1, 1, nj*4): gby, gbx, fit per group
-    offs_ref: object      # SMEM (1, 1, NTXP): per-tile row offset Sy - gby
-    csrc_ref: object      # VMEM (1, rows, nj-blocked CW): col-source lanes
-    csrc_row: int = 0     # which csrc row holds this window's lanes
+    offs_ref: object      # SMEM (1, 1, yg*NTXP): per-tile Sy - gby
+    csrc_ref: object      # VMEM (1, yg*8, nj-blocked CW): col-source lanes
+    csrc_row: int = 0     # which per-block csrc row holds this window
+    NT: int = 0           # NTXP (offs row-block pitch); 0 = XG*nj
 
 
 def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
                     stride, Sys, Sxs, VW, XG, ROWS, hps, wps, x_ref=None,
-                    pv=None, read_sxy=None):
-    """Fill the (VW, XG*VW) slab ``u_dst`` with the per-tile windows of
-    ``src`` at (Sys[t], Sxs[t]): group-DMA fast path with CROSS-PROGRAM
-    double buffering + per-tile-DMA fallback.
+                    pv=None, read_sxy=None, YG=1, WINP=None):
+    """Fill the (YG*WINP, XG*VW) slab ``u_dst`` with the per-tile windows
+    of ``src`` at (Sys[t], Sxs[t]): group-DMA fast path with CROSS-PROGRAM
+    double buffering + per-tile-DMA fallback. Row-block rb's tiles land at
+    sublanes [rb*WINP, rb*WINP + VW) (WINP: VW rounded up to 8 so every
+    block start is sublane-aligned).
 
     Program j waits on the group fetch issued by program j-1 (or its own at
     the start of a grid row) and issues j+1's speculative fetch before
@@ -224,12 +256,17 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
     With ``pv`` (a :class:`_PvRealign`) the group bases / fit flag / row
     offsets / column-source lanes come precomputed from XLA (scalar-core
     SMEM load chains were the per-program bottleneck); ``Sys``/``Sxs`` may
-    then be None and ``read_sxy()`` lazily loads them for the rare
-    per-tile-DMA fallback branch."""
+    then be None and ``read_sxy(rb)`` lazily loads them for the rare
+    per-tile-DMA fallback branch. ``YG > 1`` requires ``pv``."""
     jg = pl.program_id(1)
     nj = pl.num_programs(1)
+    GROWS, GCOLS = gwin2_ref.shape[1], gwin2_ref.shape[2]
+    WINP = VW if WINP is None else WINP
+    assert YG == 1 or pv is not None
 
     if pv is not None:
+        NT = pv.NT or XG * nj
+
         def group_base(jg2):
             # values are pre-aligned; //8*8 / //128*128 re-prove alignment
             # to Mosaic (SMEM loads carry no divisibility facts)
@@ -246,14 +283,14 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
                 min_x = jnp.minimum(min_x, pi_ref[0, 0, p0 + 1])
                 max_x = jnp.maximum(max_x, pi_ref[0, 0, p0 + 1])
             # clip-then-align keeps offsets provably 8/128-divisible
-            gby = (jnp.clip(min_y, 0, hps - _GROWS) // 8) * 8
-            gbx = (jnp.clip(min_x, 0, wps - _GCOLS) // 128) * 128
+            gby = (jnp.clip(min_y, 0, hps - GROWS) // 8) * 8
+            gbx = (jnp.clip(min_x, 0, wps - GCOLS) // 128) * 128
             return gby, gbx, max_y, max_x
 
     def issue(jg2, sl):
         b = group_base(jg2)
         pltpu.make_async_copy(
-            src.at[pl.ds(b[0], _GROWS), pl.ds(b[1], _GCOLS)],
+            src.at[pl.ds(b[0], GROWS), pl.ds(b[1], GCOLS)],
             gwin2_ref.at[sl], gsem2.at[sl]).start()
 
     if pv is not None:
@@ -261,8 +298,8 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
         fit = pv.gvec_ref[0, 0, jg * 4 + 2] > 0
     else:
         gby, gbx, max_y, max_x = group_base(jg)
-        fit = (((max_y - gby) <= _GROWS - VW) &
-               ((max_x - gbx) <= _GCOLS - VW))
+        fit = (((max_y - gby) <= GROWS - VW) &
+               ((max_x - gbx) <= GCOLS - VW))
 
     slot = jax.lax.rem(jg, 2)
 
@@ -271,7 +308,7 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
         issue(jg, slot)
 
     pltpu.make_async_copy(
-        src.at[pl.ds(gby, _GROWS), pl.ds(gbx, _GCOLS)],
+        src.at[pl.ds(gby, GROWS), pl.ds(gbx, GCOLS)],
         gwin2_ref.at[slot], gsem2.at[slot]).wait()
 
     @pl.when(jg + 1 < nj)
@@ -284,62 +321,67 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
 
     @pl.when(fit)
     def _():
-        # column realignment of ALL tiles in one selection matmul
-        if pv is not None:
-            csrc = pv.csrc_ref[0, pv.csrc_row:pv.csrc_row + 1, :SL]
-            dyl = [pv.offs_ref[0, 0, jg * XG + t] for t in range(XG)]
-        else:
-            dxv = jnp.zeros((1, SL), jnp.int32)
-            dyl = []
-            lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
-            for t in range(XG):
-                dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
-                dyl.append(Sys[t] - gby)
-            cj = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 1)
-            csrc = dxv + (cj % VW)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (_GCOLS, SL), 0)
-        Call = (ci == csrc).astype(jnp.float32)
-        X = _dot_sel(gwin_ref[:], Call)               # (_GROWS, SL)
-        # (VW > _GROWS means fit is statically impossible — this branch is
-        # dead then, but it still traces: keep the shape-valid matmul form)
-        if x_ref is not None and VW + 8 <= x_ref.shape[0]:
-            # the row realignment is a PURE shift (no staircase): one
-            # dynamic sublane slice per tile instead of a 0/1 matmul
-            x_ref[:_GROWS] = X
-            for t in range(XG):
-                u_dst[:, t * VW:(t + 1) * VW] = \
-                    _dyn_rows(x_ref, dyl[t], VW, t * VW, VW)
-        else:
-            ri = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (VW, _GROWS), 1)
-            for t in range(XG):
-                Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
-                u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
-                    Rsel, X[:, t * VW:(t + 1) * VW])
+        ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, SL), 0)
+        for rb in range(YG):
+            # column realignment of row-block rb's tiles in one matmul
+            if pv is not None:
+                csrc = pv.csrc_ref[
+                    0, rb * 8 + pv.csrc_row:rb * 8 + pv.csrc_row + 1, :SL]
+                dyl = [pv.offs_ref[0, 0, rb * NT + jg * XG + t]
+                       for t in range(XG)]
+            else:
+                dxv = jnp.zeros((1, SL), jnp.int32)
+                dyl = []
+                lv = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1) // VW
+                for t in range(XG):
+                    dxv = dxv + (Sxs[t] - gbx) * (lv == t).astype(jnp.int32)
+                    dyl.append(Sys[t] - gby)
+                cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, SL), 1)
+                csrc = dxv + (cj % VW)
+            Call = (ci == csrc).astype(jnp.float32)
+            X = _dot_sel(gwin_ref[:], Call)           # (GROWS, SL)
+            # (VW > GROWS means fit is statically impossible — this branch
+            # is dead then, but it still traces: keep the shape-valid form)
+            if x_ref is not None and VW + 8 <= x_ref.shape[0]:
+                # the row realignment is a PURE shift (no staircase): one
+                # dynamic sublane slice per tile instead of a 0/1 matmul
+                x_ref[:GROWS] = X
+                for t in range(XG):
+                    u_dst[rb * WINP:rb * WINP + VW, t * VW:(t + 1) * VW] = \
+                        _dyn_rows(x_ref, dyl[t], VW, t * VW, VW)
+            else:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (VW, GROWS), 0)
+                rj = jax.lax.broadcasted_iota(jnp.int32, (VW, GROWS), 1)
+                for t in range(XG):
+                    Rsel = (rj == dyl[t] + ri).astype(jnp.float32)
+                    u_dst[rb * WINP:rb * WINP + VW, t * VW:(t + 1) * VW] = \
+                        _sel_dot(Rsel, X[:, t * VW:(t + 1) * VW])
 
     @pl.when(jnp.logical_not(fit))
     def _():
-        Sysl, Sxsl = (read_sxy() if pv is not None and read_sxy is not None
-                      else (Sys, Sxs))
-        rys, rxs = [], []
-        for t in range(XG):
-            rys.append((Sysl[t] // 8) * 8)
-            rxs.append((Sxsl[t] // 128) * 128)
-            pltpu.make_async_copy(
-                src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
-                win_ref.at[t], sem.at[t]).start()
         ii = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (VW, ROWS), 1)
         ii2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 0)
         jj2 = jax.lax.broadcasted_iota(jnp.int32, (_DMA_COLS, VW), 1)
-        for t in range(XG):
-            pltpu.make_async_copy(
-                src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
-                win_ref.at[t], sem.at[t]).wait()
-            Rsel = (jj == (Sysl[t] - rys[t]) + ii).astype(jnp.float32)
-            Csel = (ii2 == (Sxsl[t] - rxs[t]) + jj2).astype(jnp.float32)
-            u_dst[:, t * VW:(t + 1) * VW] = _sel_dot(
-                Rsel, _dot_sel(win_ref[t], Csel))
+        for rb in range(YG):
+            Sysl, Sxsl = (read_sxy(rb)
+                          if pv is not None and read_sxy is not None
+                          else (Sys, Sxs))
+            rys, rxs = [], []
+            for t in range(XG):
+                rys.append((Sysl[t] // 8) * 8)
+                rxs.append((Sxsl[t] // 128) * 128)
+                pltpu.make_async_copy(
+                    src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).start()
+            for t in range(XG):
+                pltpu.make_async_copy(
+                    src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    win_ref.at[t], sem.at[t]).wait()
+                Rsel = (jj == (Sysl[t] - rys[t]) + ii).astype(jnp.float32)
+                Csel = (ii2 == (Sxsl[t] - rxs[t]) + jj2).astype(jnp.float32)
+                u_dst[rb * WINP:rb * WINP + VW, t * VW:(t + 1) * VW] = \
+                    _sel_dot(Rsel, _dot_sel(win_ref[t], Csel))
 
 
 def _lane_broadcast(vals, lane_div, L, dtype=jnp.float32):
@@ -356,7 +398,7 @@ def _lane_broadcast(vals, lane_div, L, dtype=jnp.float32):
 # GN step kernel: realign + bilinear taps + per-tile (b0, b1) reductions.
 # ---------------------------------------------------------------------------
 
-def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv):
+def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP):
     if pv:
         (pi_ref, gvec_ref, offs_ref, iv_ref,
          mov_ref, ref_ref, gx_ref, gy_ref,
@@ -366,25 +408,23 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv):
          out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *refs) = args
     x_ref = refs[0] if refs else None
     jg_ = pl.program_id(1)
+    nj = pl.num_programs(1)
+    NT = XG * nj
     SLAB = XG * WIN
     L = XG * ts
 
     if pv:
-        def read_sxy():
-            return ([pi_ref[0, 0, (jg_ * XG + t) * 4 + 0]
+        def read_sxy(rb):
+            return ([pi_ref[0, 0, (rb * NT + jg_ * XG + t) * 4 + 0]
                      for t in range(XG)],
-                    [pi_ref[0, 0, (jg_ * XG + t) * 4 + 1]
+                    [pi_ref[0, 0, (rb * NT + jg_ * XG + t) * 4 + 1]
                      for t in range(XG)])
 
         _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
                         pi_ref, 4, None, None, WIN, XG, ROWS, hp, wp,
                         x_ref=x_ref,
-                        pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0),
-                        read_sxy=read_sxy)
-        bits = lambda r: jax.lax.bitcast_convert_type(
-            iv_ref[0, r:r + 1, :L], jnp.float32)
-        fxv, fyv = bits(1), bits(2)
-        okv = iv_ref[0, 3:4, :L].astype(jnp.float32)
+                        pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0, NT),
+                        read_sxy=read_sxy, YG=YG, WINP=WINP)
     else:
         Sys, Sxs, oks, fxs, fys = [], [], [], [], []
         for t in range(XG):
@@ -398,12 +438,12 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv):
         _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
                         pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp,
                         x_ref=x_ref)
-        fxv = _lane_broadcast(fxs, ts, L)
-        fyv = _lane_broadcast(fys, ts, L)
-        okv = _lane_broadcast([o.astype(jnp.float32) for o in oks], ts, L)
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
-    # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap)
+    # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap).
+    # ONE pair of tall matmuls taps ALL row-blocks at once (rows pass
+    # through); the per-block bilinear/residual phase then reads static
+    # sublane slices of M0/M1.
     ti = jax.lax.broadcasted_iota(jnp.int32, (SLAB, L), 0)
     tj = jax.lax.broadcasted_iota(jnp.int32, (SLAB, L), 1)
     tsrc = (tj // ts) * WIN + (tj % ts)
@@ -411,24 +451,63 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv):
     tap1 = (ti == tsrc + 1).astype(jnp.float32)
 
     Uslab = u_ref[:]
-    m00 = _dot_sel(Uslab[:ts], tap0)
-    m01 = _dot_sel(Uslab[:ts], tap1)
-    m10 = _dot_sel(Uslab[1:WIN], tap0)
-    m11 = _dot_sel(Uslab[1:WIN], tap1)
-    top = m00 + (m01 - m00) * fxv
-    bot = m10 + (m11 - m10) * fxv
-    interp = (top + (bot - top) * fyv) * okv          # (ts, XG*ts)
+    M0 = _dot_sel(Uslab, tap0)                        # (YG*WINP, L)
+    M1 = _dot_sel(Uslab, tap1)
 
-    gradt = interp - ref_ref[:]
-    P0 = -gx_ref[:] * gradt
-    P1 = -gy_ref[:] * gradt
-    c0 = jnp.sum(P0, axis=0, keepdims=True)           # (1, L)
-    c1 = jnp.sum(P1, axis=0, keepdims=True)
+    cs = []
+    for rb in range(YG):
+        if pv:
+            bits = lambda r: jax.lax.bitcast_convert_type(
+                iv_ref[0, rb * 8 + r:rb * 8 + r + 1, :L], jnp.float32)
+            fxv, fyv = bits(1), bits(2)
+            okv = iv_ref[0, rb * 8 + 3:rb * 8 + 4, :L].astype(jnp.float32)
+        else:
+            fxv = _lane_broadcast(fxs, ts, L)
+            fyv = _lane_broadcast(fys, ts, L)
+            okv = _lane_broadcast([o.astype(jnp.float32) for o in oks],
+                                  ts, L)
+        r0 = rb * WINP
+        m00 = M0[r0:r0 + ts]
+        m01 = M1[r0:r0 + ts]
+        m10 = M0[r0 + 1:r0 + 1 + ts]
+        m11 = M1[r0 + 1:r0 + 1 + ts]
+        top = m00 + (m01 - m00) * fxv
+        bot = m10 + (m11 - m10) * fxv
+        interp = (top + (bot - top) * fyv) * okv      # (ts, XG*ts)
+
+        gradt = interp - ref_ref[rb * ts:(rb + 1) * ts]
+        P0 = -gx_ref[rb * ts:(rb + 1) * ts] * gradt
+        P1 = -gy_ref[rb * ts:(rb + 1) * ts] * gradt
+        cs.append(jnp.sum(P0, axis=0, keepdims=True))     # (1, L)
+        cs.append(jnp.sum(P1, axis=0, keepdims=True))
     si = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 0)
     sj = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
     Seg = ((si // ts) == sj).astype(jnp.float32)
-    bv = _dot_sel(jnp.concatenate([c0, c1], axis=0), Seg)     # (2, 128)
-    out_ref[:, :] = jnp.pad(bv, ((0, 6), (0, 0)))
+    bv = _dot_sel(jnp.concatenate(cs, axis=0), Seg)       # (2*YG, 128)
+    out_ref[:, :] = jnp.pad(bv, ((0, 8 - 2 * YG), (0, 0)))
+
+
+def _grows(YG, ts, VW):
+    """Group-window rows: the (YG, XG) block's row span + ~15 rows of
+    flow-variation slack, 8-aligned (YG=1 reproduces the former _GROWS=48
+    at ts=16)."""
+    return -(-(YG * ts + VW + 15) // 8) * 8
+
+
+def _gcols_ica(XG, ts, VW):
+    """Group-window lanes: the XG tiles' column span + >=127 lanes of
+    slack, 128-aligned (reproduces the former _GCOLS=512 at ts=16)."""
+    return -(-(XG * ts + VW + 127) // 128) * 128
+
+
+def _pad_rows_edge(a, nyP):
+    """Edge-pad leading (row) axis to nyP (keeps padded tiles' windows
+    adjacent to real ones so group fits aren't poisoned)."""
+    ny = a.shape[0]
+    if ny == nyP:
+        return a
+    pad = [(0, nyP - ny)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad, mode="edge")
 
 
 def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
@@ -438,9 +517,15 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
     ny, NTXP, _ = flow.shape
     ts = int(tile_size)
     XG = _xg(ts)
+    YG = _yg(ts)
+    nyP = -(-ny // YG) * YG
+    nyB = nyP // YG
     WIN = ts + 1
+    WINP = -(-WIN // 8) * 8 if YG > 1 else WIN
     PAD = ts + 2
     ROWS = _dma_rows(WIN)
+    GROWS = _grows(YG, ts, WIN)
+    GCOLS = _gcols_ica(XG, ts, WIN)
 
     ax = flow[..., 0]
     ay = flow[..., 1]
@@ -451,26 +536,32 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
     Sy = ty * ts + iy.astype(jnp.int32) + PAD
     Sx = tx * ts + ix.astype(jnp.int32) + PAD
     hp, wp = mov_pad.shape
-    Syc = jnp.clip(Sy, 0, hp - ROWS)
-    Sxc = jnp.clip(Sx, 0, wp - _DMA_COLS)
-    ok = ((Syc == Sy) & (Sxc == Sx)).astype(jnp.int32)
+    Syc = _pad_rows_edge(jnp.clip(Sy, 0, hp - ROWS), nyP)
+    Sxc = _pad_rows_edge(jnp.clip(Sx, 0, wp - _DMA_COLS), nyP)
+    ok = _pad_rows_edge(((jnp.clip(Sy, 0, hp - ROWS) == Sy) &
+                         (jnp.clip(Sx, 0, wp - _DMA_COLS) == Sx)
+                         ).astype(jnp.int32), nyP)
     pi = jnp.stack([Syc, Sxc, ok, jnp.zeros_like(ok)], axis=-1)
+    pi = pi.reshape(nyB, 1, YG * NTXP * 4)
 
     kernel = functools.partial(_ica_step_kernel, ts=ts, XG=XG, WIN=WIN,
-                               ROWS=ROWS, hp=hp, wp=wp, pv=_PARAMVEC)
+                               ROWS=ROWS, hp=hp, wp=wp, pv=_PARAMVEC,
+                               YG=YG, WINP=WINP)
     if _PARAMVEC:
-        fx = (ax - ix).astype(DEFAULT_FLOAT)
-        fy = (ay - iy).astype(DEFAULT_FLOAT)
-        pvo, pvs, CW = _pv_pack(Syc, Sxc, XG, hp, wp, WIN, ts, ny, NTXP,
+        fx = _pad_rows_edge((ax - ix).astype(DEFAULT_FLOAT), nyP)
+        fy = _pad_rows_edge((ay - iy).astype(DEFAULT_FLOAT), nyP)
+        pvo, pvs, CW = _pv_pack(Syc, Sxc, XG, hp, wp, WIN, ts, nyP, NTXP,
                                 [jax.lax.bitcast_convert_type(fx, jnp.int32),
                                  jax.lax.bitcast_convert_type(fy, jnp.int32),
-                                 ok])
-        head_ops = [pi.reshape(ny, 1, NTXP * 4)] + pvo
-        head_specs = [pl.BlockSpec((1, 1, NTXP * 4), lambda i, j: (i, 0, 0),
+                                 ok],
+                                yg=YG, grows=GROWS, gcols=GCOLS)
+        head_ops = [pi] + pvo
+        head_specs = [pl.BlockSpec((1, 1, YG * NTXP * 4),
+                                   lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.SMEM)] + pvs
     else:
         pf = jnp.stack([ax - ix, ay - iy], axis=-1).astype(DEFAULT_FLOAT)
-        head_ops = [pi.reshape(ny, 1, NTXP * 4), pf.reshape(ny, 1, NTXP * 2)]
+        head_ops = [pi, pf.reshape(ny, 1, NTXP * 2)]
         head_specs = [
             pl.BlockSpec((1, 1, NTXP * 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -478,14 +569,14 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
                          memory_space=pltpu.SMEM),
         ]
     grid_spec = pl.GridSpec(
-        grid=(ny, NTXP // XG),
+        grid=(nyB, NTXP // XG),
         in_specs=head_specs + [
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -494,24 +585,24 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((2, _GROWS, _GCOLS), jnp.float32),
-            pltpu.VMEM((WIN, XG * WIN), jnp.float32),
+            pltpu.VMEM((2, GROWS, GCOLS), jnp.float32),
+            pltpu.VMEM((YG * WINP, XG * WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((XG,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + ([pltpu.VMEM((_GROWS + 8, XG * WIN), jnp.float32)]
+        ] + ([pltpu.VMEM((GROWS + 8, XG * WIN), jnp.float32)]
              if _REALIGN == "slice" else []),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((ny * 8, (NTXP // XG) * 128),
+        out_shape=(jax.ShapeDtypeStruct((nyB * 8, (NTXP // XG) * 128),
                                         jnp.float32),),
         interpret=interpret,
     )(*head_ops, mov_pad, prep.ref_c, prep.gx, prep.gy)[0]
 
-    out = out.reshape(ny, 8, NTXP // XG, 128)
-    b0 = out[:, 0, :, :XG].reshape(ny, NTXP)
-    b1 = out[:, 1, :, :XG].reshape(ny, NTXP)
+    out = out.reshape(nyB, 8, NTXP // XG, 128)
+    b0 = out[:, 0:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
+    b1 = out[:, 1:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
     return b0, b1
 
 
@@ -519,7 +610,7 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
 # Block-matching kernel: realign search slab + vectorized candidate argmin.
 # ---------------------------------------------------------------------------
 
-def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv):
+def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP):
     if pv:
         (pi_ref, gvec_ref, offs_ref, iv_ref, mov_ref, ref_ref, out_ref,
          win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs) = args
@@ -528,23 +619,25 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv):
          win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs) = args
     x_ref = refs[0] if refs else None
     jg_ = pl.program_id(1)
+    nj = pl.num_programs(1)
+    NT = XG * nj
     L = XG * ts
     n_sh = 2 * rbm + 1
     NC = n_sh * n_sh
-    NCP = eacc_ref.shape[0]
+    NCP = eacc_ref.shape[0] // YG
 
     if pv:
-        def read_sxy():
-            return ([pi_ref[0, 0, (jg_ * XG + t) * 2 + 0]
+        def read_sxy(rb):
+            return ([pi_ref[0, 0, (rb * NT + jg_ * XG + t) * 2 + 0]
                      for t in range(XG)],
-                    [pi_ref[0, 0, (jg_ * XG + t) * 2 + 1]
+                    [pi_ref[0, 0, (rb * NT + jg_ * XG + t) * 2 + 1]
                      for t in range(XG)])
 
         _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
                         pi_ref, 2, None, None, SWIN, XG, ROWS, hp, wp,
                         x_ref=x_ref,
-                        pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0),
-                        read_sxy=read_sxy)
+                        pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0, NT),
+                        read_sxy=read_sxy, YG=YG, WINP=SWINP)
     else:
         Wys, Wxs = [], []
         for t in range(XG):
@@ -558,25 +651,31 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv):
 
     # zero the candidate-padding rows once (they enter the Seg matmul)
     if NCP > NC:
-        eacc_ref[NC:NCP, :] = jnp.zeros((NCP - NC, eacc_ref.shape[1]),
-                                        jnp.float32)
+        for rb in range(YG):
+            r0 = rb * NCP
+            eacc_ref[r0 + NC:r0 + NCP, :] = jnp.zeros(
+                (NCP - NC, eacc_ref.shape[1]), jnp.float32)
 
     if metric == "l1":
         # the column-extraction tap depends only on sx: extract the n_sh
-        # full-height slabs once; the sy shift is then a free row slice.
-        # per-tile errors land in lane t (segment sums below).
+        # full-height slabs once (ALL row-blocks in one tall matmul); the
+        # (rb, sy) shift is then a free row slice. per-tile errors land in
+        # lane t (segment sums below).
         bi = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, L), 0)
         bj = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, L), 1)
         bsrc = (bj // ts) * SWIN + (bj % ts)
         cols = []
         for sx in range(n_sh):
             tap = (bi == bsrc + sx).astype(jnp.float32)
-            cols.append(_dot_sel(ub_ref[:], tap))     # (SWIN, L)
-        for sy in range(n_sh):
-            for sx in range(n_sh):
-                D = jnp.abs(ref_ref[:] - cols[sx][sy:sy + ts])
-                r0 = sy * n_sh + sx
-                eacc_ref[r0:r0 + 1, :L] = jnp.sum(D, axis=0, keepdims=True)
+            cols.append(_dot_sel(ub_ref[:], tap))     # (YG*SWINP, L)
+        for rb in range(YG):
+            rr = rb * ts
+            for sy in range(n_sh):
+                for sx in range(n_sh):
+                    D = jnp.abs(ref_ref[rr:rr + ts] -
+                                cols[sx][rb * SWINP + sy:rb * SWINP + sy + ts])
+                    r0 = rb * NCP + sy * n_sh + sx
+                    eacc_ref[r0:r0 + 1, :L] = jnp.sum(D, 0, keepdims=True)
         seg_w = ts
     else:
         # O(n_sh) MXU passes: e = sum(win^2) - 2 corr (argmin-equal to
@@ -585,28 +684,33 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv):
         # tiles' correlations for all sx as the diagonal band
         # G[t*ts + x, t*SWIN + x + sx]; band extraction and the win^2
         # window sums are cheap VPU mask reductions.
-        SQ = ub_ref[:] * ub_ref[:]                    # (SWIN, XG*SWIN)
+        SQ = ub_ref[:] * ub_ref[:]                    # (YG*SWINP, XG*SWIN)
         pi2 = jax.lax.broadcasted_iota(jnp.int32, (L, XG * SWIN), 0)
         qi = jax.lax.broadcasted_iota(jnp.int32, (L, XG * SWIN), 1)
         same_tile = (pi2 // ts) == (qi // SWIN)
         doff = (qi % SWIN) - (pi2 % ts)               # == sx on the band
         qmod = jax.lax.broadcasted_iota(
             jnp.int32, (1, XG * SWIN), 1) % SWIN
-        for sy in range(n_sh):
-            G = jax.lax.dot_general(                  # (L, XG*SWIN)
-                ref_ref[:], ub_ref[sy:sy + ts],
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            colsum2 = jnp.sum(SQ[sy:sy + ts], axis=0, keepdims=True)
-            for sx in range(n_sh):
-                band = (same_tile & (doff == sx)).astype(jnp.float32)
-                drow = jnp.sum(G * band, axis=0, keepdims=True)
-                valid = ((qmod >= sx) &
-                         (qmod < sx + ts)).astype(jnp.float32)
-                r0 = sy * n_sh + sx
-                eacc_ref[r0:r0 + 1, :XG * SWIN] = \
-                    (colsum2 - 2.0 * drow) * valid
+        for rb in range(YG):
+            rr = rb * ts
+            for sy in range(n_sh):
+                G = jax.lax.dot_general(              # (L, XG*SWIN)
+                    ref_ref[rr:rr + ts],
+                    ub_ref[rb * SWINP + sy:rb * SWINP + sy + ts],
+                    (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                colsum2 = jnp.sum(
+                    SQ[rb * SWINP + sy:rb * SWINP + sy + ts], 0,
+                    keepdims=True)
+                for sx in range(n_sh):
+                    band = (same_tile & (doff == sx)).astype(jnp.float32)
+                    drow = jnp.sum(G * band, axis=0, keepdims=True)
+                    valid = ((qmod >= sx) &
+                             (qmod < sx + ts)).astype(jnp.float32)
+                    r0 = rb * NCP + sy * n_sh + sx
+                    eacc_ref[r0:r0 + 1, :XG * SWIN] = \
+                        (colsum2 - 2.0 * drow) * valid
         seg_w = SWIN
 
     # vectorized per-tile segment sums + first-min argmin over candidates
@@ -614,15 +718,18 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv):
     si = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 0)
     sj = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 1)
     Seg = ((si // seg_w) == sj).astype(jnp.float32)
-    E = _dot_sel(eacc_ref[:, :SL], Seg)               # (NCP, 128)
+    E = _dot_sel(eacc_ref[:, :SL], Seg)               # (YG*NCP, 128)
     ci = jax.lax.broadcasted_iota(jnp.int32, (NCP, 128), 0)
-    E = jnp.where(ci < NC, E, jnp.float32(np.inf))
-    best = jnp.min(E, axis=0, keepdims=True)          # (1, 128)
-    idx = jnp.min(jnp.where(E <= best, ci, NC), axis=0, keepdims=True)
-    dy = (idx // n_sh - rbm).astype(jnp.float32)
-    dx = (idx % n_sh - rbm).astype(jnp.float32)
-    out_ref[:, :] = jnp.pad(jnp.concatenate([dx, dy], axis=0),
-                            ((0, 6), (0, 0)))
+    outs = []
+    for rb in range(YG):
+        Eb = E[rb * NCP:(rb + 1) * NCP]
+        Eb = jnp.where(ci < NC, Eb, jnp.float32(np.inf))
+        best = jnp.min(Eb, axis=0, keepdims=True)     # (1, 128)
+        idx = jnp.min(jnp.where(Eb <= best, ci, NC), axis=0, keepdims=True)
+        outs.append((idx % n_sh - rbm).astype(jnp.float32))   # dx
+        outs.append((idx // n_sh - rbm).astype(jnp.float32))  # dy
+    out_ref[:, :] = jnp.pad(jnp.concatenate(outs, axis=0),
+                            ((0, 8 - 2 * YG), (0, 0)))
 
 
 def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
@@ -636,9 +743,15 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
     ny, NTXP, _ = flow.shape
     ts = int(tile_size)
     XG = _xg(ts)
+    YG = _yg(ts)
+    nyP = -(-ny // YG) * YG
+    nyB = nyP // YG
     rbm = int(radius)
     SWIN = ts + 2 * rbm + 1
+    SWINP = -(-SWIN // 8) * 8 if YG > 1 else SWIN
     ROWS = _dma_rows(SWIN)
+    GROWS = _grows(YG, ts, SWIN)
+    GCOLS = _gcols_ica(XG, ts, SWIN)
     hp, wp = mov_pad.shape
 
     iflow = jnp.round(flow)
@@ -655,8 +768,8 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
     Wxc = jnp.clip(Wx, -pad, w) + pad
     # keep DMA-legal (the clip above follows the reference's semantics; the
     # pad geometry guarantees in-range, this is belt and braces)
-    Wyc = jnp.clip(Wyc, 0, hp - ROWS)
-    Wxc = jnp.clip(Wxc, 0, wp - _DMA_COLS)
+    Wyc = _pad_rows_edge(jnp.clip(Wyc, 0, hp - ROWS), nyP)
+    Wxc = _pad_rows_edge(jnp.clip(Wxc, 0, wp - _DMA_COLS), nyP)
     pi = jnp.stack([Wyc, Wxc], axis=-1)
 
     NC = (2 * rbm + 1) ** 2
@@ -664,19 +777,21 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
 
     kernel = functools.partial(_bm_kernel, ts=ts, XG=XG, SWIN=SWIN,
                                ROWS=ROWS, hp=hp, wp=wp, metric=metric,
-                               rbm=rbm, pv=_PARAMVEC)
-    head_ops = [pi.reshape(ny, 1, NTXP * 2)]
-    head_specs = [pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+                               rbm=rbm, pv=_PARAMVEC, YG=YG, SWINP=SWINP)
+    head_ops = [pi.reshape(nyB, 1, YG * NTXP * 2)]
+    head_specs = [pl.BlockSpec((1, 1, YG * NTXP * 2),
+                               lambda i, j: (i, 0, 0),
                                memory_space=pltpu.SMEM)]
     if _PARAMVEC:
-        pvo, pvs, _ = _pv_pack(Wyc, Wxc, XG, hp, wp, SWIN, ts, ny, NTXP, [])
+        pvo, pvs, _ = _pv_pack(Wyc, Wxc, XG, hp, wp, SWIN, ts, nyP, NTXP,
+                               [], yg=YG, grows=GROWS, gcols=GCOLS)
         head_ops += pvo
         head_specs += pvs
     grid_spec = pl.GridSpec(
-        grid=(ny, NTXP // XG),
+        grid=(nyB, NTXP // XG),
         in_specs=head_specs + [
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -685,25 +800,25 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
         ],
         scratch_shapes=[
             pltpu.VMEM((XG, ROWS, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((2, _GROWS, _GCOLS), jnp.float32),
-            pltpu.VMEM((SWIN, XG * SWIN), jnp.float32),
-            pltpu.VMEM((NCP, max(XG * SWIN, 128)), jnp.float32),
+            pltpu.VMEM((2, GROWS, GCOLS), jnp.float32),
+            pltpu.VMEM((YG * SWINP, XG * SWIN), jnp.float32),
+            pltpu.VMEM((YG * NCP, max(XG * SWIN, 128)), jnp.float32),
             pltpu.SemaphoreType.DMA((XG,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + ([pltpu.VMEM((_GROWS + 8, XG * SWIN), jnp.float32)]
+        ] + ([pltpu.VMEM((GROWS + 8, XG * SWIN), jnp.float32)]
              if _REALIGN == "slice" else []),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((ny * 8, (NTXP // XG) * 128),
+        out_shape=(jax.ShapeDtypeStruct((nyB * 8, (NTXP // XG) * 128),
                                         jnp.float32),),
         interpret=interpret,
     )(*head_ops, mov_pad, prep.ref_c)[0]
 
-    out = out.reshape(ny, 8, NTXP // XG, 128)
-    dx = out[:, 0, :, :XG].reshape(ny, NTXP)
-    dy = out[:, 1, :, :XG].reshape(ny, NTXP)
+    out = out.reshape(nyB, 8, NTXP // XG, 128)
+    dx = out[:, 0:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
+    dy = out[:, 1:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
     return dx, dy
 
 

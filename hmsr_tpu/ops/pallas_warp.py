@@ -6,6 +6,11 @@ guide grid is one contiguous window at a flow-dependent offset. The window is
 DMA'd at tile-aligned offsets and realigned/up-sampled with 0/1
 selection-matrix matmuls; the 3x3 Dodgson stencil then reads static slices.
 
+Programs cover a (YG, XG) BLOCK of alignment tiles (sublane x lane batching):
+the kernel is bound by per-program fixed cost (grid dispatch, DMA waits,
+small-matmul latency), so stacking YG tile rows amortizes it and makes the
+realign/tap matmuls taller.
+
 Outputs the warped statistics at raw resolution (c, H, W) plus the validity
 mask (1 where the warped coordinate stayed inside the guide grid — the
 reference writes +inf there, robustness.py:387-390).
@@ -21,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
 from .pallas_merge import _dot_sel, _sel_dot, _dyn_rows, _PARAMVEC
-from .pallas_ica import _pv_group_bases, _pv_csrc
+from .pallas_ica import _pv_group_bases, _pv_csrc, _pad_rows_edge
 
 _DMA_COLS = 256
 
@@ -31,8 +36,9 @@ import os as _os
 # overrides for A/B.
 _REALIGN = _os.environ.get("HMSR_REALIGN_WARP", "slice")
 
-# program width multiplier (see pallas_ica._XG_MULT)
+# program width/height multipliers (see pallas_ica._XG_MULT/_YG_MULT)
 _XG_MULT = max(1, int(_os.environ.get("HMSR_WARP_XG", "1")))
+_YG_MULT = max(1, int(_os.environ.get("HMSR_WARP_YG", "4")))
 
 
 def _dma_rows(win):
@@ -55,12 +61,19 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     assert flow.shape[0] >= nty and flow.shape[1] >= ntx, (flow.shape, nty, ntx)
     XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
+    YG = max(1, min(_YG_MULT, 64 // Ts, 4)) if _PARAMVEC else 1
+    ntyP = -(-nty // YG) * YG
+    nyB = ntyP // YG
+    SEGP = -(-SEG // 8) * 8 if YG > 1 else SEG
 
     ROWS = _dma_rows(WIN)
+    # group window sized to the (YG, XG) block's source span + slack
+    GR = -(-(YG * (Ts // u) + WIN + 15) // 8) * 8 + 8
+    GCOLS = -(-(XG * (Ts // u) + WIN + 127) // 128) * 128
     stats_pad = jnp.pad(stats, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
     ph0, pw0 = stats_pad.shape[1:]
     stats_pad = jnp.pad(stats_pad,
-                        ((0, 0), (0, (-ph0) % ROWS + ROWS),
+                        ((0, 0), (0, (-ph0) % max(ROWS, GR) + max(ROWS, GR)),
                          (0, (-pw0) % _DMA_COLS + _DMA_COLS)), mode="edge")
 
     # per-tile params: center(Y) = (Y + m)//u with m = floor(fy + 0.5)
@@ -86,14 +99,18 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
         params = jnp.concatenate([params, fill], axis=1)
         fx = jnp.concatenate([fx, jnp.zeros((nty, NTXP - ntx), DEFAULT_FLOAT)], 1)
         fy = jnp.concatenate([fy, jnp.zeros((nty, NTXP - ntx), DEFAULT_FLOAT)], 1)
-    params_flat = params.reshape(nty, 1, NTXP * 8)
-    flow_f = jnp.stack([fx, fy], -1).reshape(nty, 1, NTXP * 2)
+    # edge-pad tile rows to the YG block height (results discarded)
+    params = _pad_rows_edge(params, ntyP)
+    fx = _pad_rows_edge(fx, ntyP)
+    fy = _pad_rows_edge(fy, ntyP)
+    params_flat = params.reshape(nyB, 1, YG * NTXP * 8)
+    flow_f = jnp.stack([fx, fy], -1).reshape(nyB, 1, YG * NTXP * 2)
 
     head_ops = [params_flat, flow_f, stats_pad]
     head_specs = [
-        pl.BlockSpec((1, 1, NTXP * 8), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, YG * NTXP * 8), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, YG * NTXP * 2), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.HBM),         # stats_pad
     ]
@@ -105,10 +122,11 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
         Sy1A, Sx1A, okA = params[:, :, 4], params[:, :, 5], params[:, :, 6]
         gvec, gby, gbx = _pv_group_bases(
             SyP, SxP, XG, stats_pad.shape[1], stats_pad.shape[2], WIN,
-            grows=ROWS + 16, gcols=512)
-        offs = ((SyP - jnp.repeat(gby, XG, 1)) * u + phyA
-                ).reshape(nty, 1, NTXP)
-        csrc, CW = _pv_csrc(SxP, gbx, XG, SEG, ph=phxA, rep=u)
+            grows=GR, gcols=GCOLS, yg=YG)
+        gby_t = jnp.repeat(jnp.repeat(gby, XG, 1).reshape(nyB, 1, NTXP),
+                           YG, axis=1).reshape(ntyP, NTXP)
+        offs = ((SyP - gby_t) * u + phyA).reshape(nyB, 1, YG * NTXP)
+        csrc, CW = _pv_csrc(SxP, gbx, XG, SEG, ph=phxA, rep=u, yg=YG)
         assert L <= CW
         b = jnp.arange(Ts, dtype=jnp.int32)[None, None, :]
         center_x = Sx1A[..., None] + (b + phxA[..., None]) // u
@@ -119,56 +137,60 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
                (okA[..., None] > 0)).astype(jnp.int32)
         bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
 
-        def lrow(a):                                 # (nty, NTXP[, Ts])
+        def lrow(a):                                 # (ntyP, NTXP[, Ts])
             if a.ndim == 2:
-                a = jnp.broadcast_to(a[..., None], (nty, NTXP, Ts))
-            a = a.reshape(nty, nj, L)
-            return jnp.pad(a, ((0, 0), (0, 0), (0, CW - L)))
+                a = jnp.broadcast_to(a[..., None], (ntyP, NTXP, Ts))
+            a = a.reshape(nyB, YG, nj, L)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, CW - L)))
 
         rows = [csrc, lrow(Sy1A), lrow(phyA), lrow(center_x),
-                lrow(bits(jnp.broadcast_to(fy[..., None], (nty, NTXP, Ts)))),
+                lrow(bits(jnp.broadcast_to(fy[..., None], (ntyP, NTXP, Ts)))),
                 lrow(bits(lr_x)), lrow(xok)]
         rows += [jnp.zeros_like(rows[0])]
-        iv = jnp.stack(rows, axis=1).reshape(nty, 8, nj * CW)
+        # (nyB, YG, 8, nj, CW) -> (nyB, YG*8, nj*CW): row-block rb's planes
+        # live at sublanes [rb*8, rb*8+8)
+        iv = jnp.stack(rows, axis=2).reshape(nyB, YG * 8, nj * CW)
         head_ops += [gvec, offs, iv]
         head_specs += [
             pl.BlockSpec((1, 1, nj * 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, NTXP), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, YG * NTXP), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, CW), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, YG * 8, CW), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ]
 
     kernel = functools.partial(
         _warp_kernel, u=u, Ts=Ts, XG=XG, WIN=WIN, SEG=SEG, c=c,
         lh=lh, lw=lw, H=H, W=W,
-        hps=stats_pad.shape[1], wps=stats_pad.shape[2], pv=_PARAMVEC)
+        hps=stats_pad.shape[1], wps=stats_pad.shape[2], pv=_PARAMVEC,
+        YG=YG, SEGP=SEGP)
 
     grid_spec = pl.GridSpec(
-        grid=(nty, NTXP // XG),
+        grid=(nyB, NTXP // XG),
         in_specs=head_specs,
         out_specs=[
-            pl.BlockSpec((c, Ts, XG * Ts), lambda i, j: (0, i, j),
+            pl.BlockSpec((c, YG * Ts, XG * Ts), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ts, XG * Ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * Ts, XG * Ts), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((c, ROWS, _DMA_COLS), jnp.float32),   # tile fallback
-            pltpu.VMEM((2, c, ROWS + 16, 512), jnp.float32),  # group x2 (pf)
-            pltpu.VMEM((c, SEG, XG * SEG), jnp.float32),     # U slab
+            pltpu.VMEM((2, c, GR, GCOLS), jnp.float32),      # group x2 (pf)
+            pltpu.VMEM((c, YG * SEGP, XG * SEG), jnp.float32),   # U slab
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + ([pltpu.VMEM((u * (ROWS + 16) + 8, XG * SEG), jnp.float32)]
+        ] + ([pltpu.VMEM((u * GR + 8, XG * SEG), jnp.float32)]
              if _REALIGN == "slice" else []),
     )
 
     hr, valid = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((c, nty * Ts, NTXP * Ts), jnp.float32),
-                   jax.ShapeDtypeStruct((nty * Ts, NTXP * Ts), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((c, ntyP * Ts, NTXP * Ts),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((ntyP * Ts, NTXP * Ts), jnp.float32)),
         interpret=interpret,
     )(*head_ops)
 
@@ -182,13 +204,15 @@ def _dogson(x):
     return jnp.where(ax <= 0.5, near, jnp.where(ax <= 1.5, mid, 0.0))
 
 
-def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
-    """Group-window rewrite: one speculative DMA covers the XG x-adjacent
-    tile windows (per-tile fallback for wild flow); realignment is one
-    column-selection matmul for the group + a dynamic sublane slice (or a
+def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv,
+                 YG, SEGP):
+    """Group-window rewrite: one speculative DMA covers the (YG, XG) block
+    of tile windows (per-tile fallback for wild flow); realignment is one
+    column-selection matmul per row-block + a dynamic sublane slice (or a
     small row matmul) per tile; the Dodgson 3x3 stencil then runs on
-    (Ts, XG*Ts) slabs. With ``pv`` all per-tile parameters arrive as
-    precomputed lane planes / group bases (see pallas_merge._PARAMVEC)."""
+    (Ts, XG*Ts) slabs per row-block. With ``pv`` all per-tile parameters
+    arrive as precomputed lane planes / group bases (see
+    pallas_merge._PARAMVEC)."""
     if pv:
         (params_ref, flow_ref, stats_ref, gvec_ref, offs_ref, iv_ref,
          hr_ref, valid_ref, win_ref, gwin2_ref, u_slab, sem, gsem,
@@ -201,6 +225,7 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
     i = pl.program_id(0)
     jg_ = pl.program_id(1)
     nj = pl.num_programs(1)
+    NT = XG * nj
     half = jnp.float32(0.5)
     GR, GCOLS = gwin2_ref.shape[2], gwin2_ref.shape[3]
     ROWS = win_ref.shape[1]
@@ -233,14 +258,14 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
             stats_ref.at[:, pl.ds(b[0], GR), pl.ds(b[1], GCOLS)],
             gwin2_ref.at[slot], gsem.at[slot]).start()
 
-    def read_params():
+    def read_params(rb=0):
         out = ([], [], [], [], [], [], [], [], [])
         for t in range(XG):
-            p0 = (jg_ * XG + t) * 8
+            p0 = (rb * NT + jg_ * XG + t) * 8
             for k in range(7):
                 out[k].append(params_ref[0, 0, p0 + k])
-            out[7].append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 0])
-            out[8].append(flow_ref[0, 0, (jg_ * XG + t) * 2 + 1])
+            out[7].append(flow_ref[0, 0, (rb * NT + jg_ * XG + t) * 2 + 0])
+            out[8].append(flow_ref[0, 0, (rb * NT + jg_ * XG + t) * 2 + 1])
         return out
 
     if pv:
@@ -274,84 +299,93 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
     @pl.when(fit)
     def _():
         ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 0)
-        if pv:
-            csrc = iv_ref[0, 0:1, :XG * SEG]
-        else:
-            lv = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
-            dxv = jnp.zeros((1, XG * SEG), jnp.int32)
-            phv = jnp.zeros((1, XG * SEG), jnp.int32)
-            for t in range(XG):
-                m = (lv == t).astype(jnp.int32)
-                dxv = dxv + (Sxp[t] - gbx) * m
-                phv = phv + phx[t] * m
-            cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
-            csrc = dxv + ((cj % SEG) + phv) // u
-        Cw = (ci == csrc).astype(jnp.float32)
-        Y = _dot_sel(gwin_ref[:].reshape(c * GR, GCOLS), Cw)
-        if xup_ref is not None and SEG + 8 <= xup_ref.shape[0]:
-            # row realignment via one static u-fold sublane repeat + a
-            # dynamic sublane slice per (channel, tile) — see pallas_merge
-            for ch in range(c):
-                xup_ref[:u * GR] = \
-                    jnp.repeat(Y[ch * GR:(ch + 1) * GR], u, axis=0) \
-                    if u > 1 else Y[ch * GR:(ch + 1) * GR]
-                for t in range(XG):
-                    off = offs_ref[0, 0, jg_ * XG + t] if pv else \
-                        (Syp[t] - gby) * u + phy[t]
-                    u_slab[ch, :, t * SEG:(t + 1) * SEG] = \
-                        _dyn_rows(xup_ref, off, SEG, t * SEG, SEG)
-        else:
+        for rb in range(YG):
             if pv:
-                rp = read_params()
-                Sypl, phyl = rp[0], rp[2]
+                csrc = iv_ref[0, rb * 8:rb * 8 + 1, :XG * SEG]
             else:
-                Sypl, phyl = Syp, phy
-            ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 1)
-            for t in range(XG):
-                Rsel = (rj == (Sypl[t] - gby) +
-                        (ri + phyl[t]) // u).astype(jnp.float32)
+                lv = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, XG * SEG), 1) // SEG
+                dxv = jnp.zeros((1, XG * SEG), jnp.int32)
+                phv = jnp.zeros((1, XG * SEG), jnp.int32)
+                for t in range(XG):
+                    m = (lv == t).astype(jnp.int32)
+                    dxv = dxv + (Sxp[t] - gbx) * m
+                    phv = phv + phx[t] * m
+                cj = jax.lax.broadcasted_iota(
+                    jnp.int32, (GCOLS, XG * SEG), 1)
+                csrc = dxv + ((cj % SEG) + phv) // u
+            Cw = (ci == csrc).astype(jnp.float32)
+            Y = _dot_sel(gwin_ref[:].reshape(c * GR, GCOLS), Cw)
+            if xup_ref is not None and SEG + 8 <= xup_ref.shape[0]:
+                # row realignment via one static u-fold sublane repeat + a
+                # dynamic sublane slice per (channel, tile) — pallas_merge
                 for ch in range(c):
-                    u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
-                        Rsel, Y[ch * GR:(ch + 1) * GR, t * SEG:(t + 1) * SEG])
+                    xup_ref[:u * GR] = \
+                        jnp.repeat(Y[ch * GR:(ch + 1) * GR], u, axis=0) \
+                        if u > 1 else Y[ch * GR:(ch + 1) * GR]
+                    for t in range(XG):
+                        off = offs_ref[0, 0, rb * NT + jg_ * XG + t] if pv \
+                            else (Syp[t] - gby) * u + phy[t]
+                        u_slab[ch, rb * SEGP:rb * SEGP + SEG,
+                               t * SEG:(t + 1) * SEG] = \
+                            _dyn_rows(xup_ref, off, SEG, t * SEG, SEG)
+            else:
+                if pv:
+                    rp = read_params(rb)
+                    Sypl, phyl = rp[0], rp[2]
+                else:
+                    Sypl, phyl = Syp, phy
+                ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 0)
+                rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR), 1)
+                for t in range(XG):
+                    Rsel = (rj == (Sypl[t] - gby) +
+                            (ri + phyl[t]) // u).astype(jnp.float32)
+                    for ch in range(c):
+                        u_slab[ch, rb * SEGP:rb * SEGP + SEG,
+                               t * SEG:(t + 1) * SEG] = _sel_dot(
+                            Rsel,
+                            Y[ch * GR:(ch + 1) * GR, t * SEG:(t + 1) * SEG])
 
     @pl.when(jnp.logical_not(fit))
     def _():
-        if pv:
-            Syp_, Sxp_, phy_, phx_ = read_params()[:4]
-        else:
-            Syp_, Sxp_, phy_, phx_ = Syp, Sxp, phy, phx
-        rys = [(Syp_[t] // 8) * 8 for t in range(XG)]
-        rxs = [(Sxp_[t] // 128) * 128 for t in range(XG)]
+        for rb in range(YG):
+            if pv:
+                Syp_, Sxp_, phy_, phx_ = read_params(rb)[:4]
+            else:
+                Syp_, Sxp_, phy_, phx_ = Syp, Sxp, phy, phx
+            rys = [(Syp_[t] // 8) * 8 for t in range(XG)]
+            rxs = [(Sxp_[t] // 128) * 128 for t in range(XG)]
 
-        def start(t):
-            pltpu.make_async_copy(
-                stats_ref.at[:, pl.ds(rys[t], ROWS),
-                             pl.ds(rxs[t], win_ref.shape[2])],
-                win_ref, sem).start()
+            def start(t):
+                pltpu.make_async_copy(
+                    stats_ref.at[:, pl.ds(rys[t], ROWS),
+                                 pl.ds(rxs[t], win_ref.shape[2])],
+                    win_ref, sem).start()
 
-        for t in range(XG):
-            start(t)
-            pltpu.make_async_copy(
-                stats_ref.at[:, pl.ds(rys[t], ROWS),
-                             pl.ds(rxs[t], win_ref.shape[2])],
-                win_ref, sem).wait()
-            ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)
-            Rsel = (jj == (Syp_[t] - rys[t]) +
-                    (ii + phy_[t]) // u).astype(jnp.float32)
-            ii2 = jax.lax.broadcasted_iota(
-                jnp.int32, (win_ref.shape[2], SEG), 0)
-            jj2 = jax.lax.broadcasted_iota(
-                jnp.int32, (win_ref.shape[2], SEG), 1)
-            Csel = (ii2 == (Sxp_[t] - rxs[t]) +
-                    (jj2 + phx_[t]) // u).astype(jnp.float32)
-            Y = _dot_sel(win_ref[:].reshape(c * ROWS, win_ref.shape[2]), Csel)
-            for ch in range(c):
-                u_slab[ch, :, t * SEG:(t + 1) * SEG] = _sel_dot(
-                    Rsel, Y[ch * ROWS:(ch + 1) * ROWS])
+            for t in range(XG):
+                start(t)
+                pltpu.make_async_copy(
+                    stats_ref.at[:, pl.ds(rys[t], ROWS),
+                                 pl.ds(rxs[t], win_ref.shape[2])],
+                    win_ref, sem).wait()
+                ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)
+                Rsel = (jj == (Syp_[t] - rys[t]) +
+                        (ii + phy_[t]) // u).astype(jnp.float32)
+                ii2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (win_ref.shape[2], SEG), 0)
+                jj2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (win_ref.shape[2], SEG), 1)
+                Csel = (ii2 == (Sxp_[t] - rxs[t]) +
+                        (jj2 + phx_[t]) // u).astype(jnp.float32)
+                Y = _dot_sel(win_ref[:].reshape(c * ROWS, win_ref.shape[2]),
+                             Csel)
+                for ch in range(c):
+                    u_slab[ch, rb * SEGP:rb * SEGP + SEG,
+                           t * SEG:(t + 1) * SEG] = _sel_dot(
+                        Rsel, Y[ch * ROWS:(ch + 1) * ROWS])
 
-    # ---- shared slab phase: Dodgson 3x3 stencil on (Ts, XG*Ts)
+    # ---- shared slab phase: Dodgson 3x3 stencil on (Ts, XG*Ts) per block
     r_loc = jax.lax.broadcasted_iota(jnp.int32, (Ts, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     lb = lane // Ts
@@ -369,67 +403,70 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv):
             out = out + vals[t] * (lb == t).astype(jnp.float32)
         return out
 
-    Yg = (i * Ts + r_loc).astype(jnp.float32)           # (Ts, 1)
-    if pv:
-        b32 = lambda r: jax.lax.bitcast_convert_type(
-            iv_ref[0, r:r + 1, :L], jnp.float32)
-        Sy1v = iv_ref[0, 1:2, :L]
-        phyv = iv_ref[0, 2:3, :L]
-        center_x = iv_ref[0, 3:4, :L]
-        fyv = b32(4)
-        lr_x = b32(5)
-        lr_y = (Yg + fyv + half) / u - half             # (Ts, L)
-        valid = ((lr_y >= 0) & (lr_y < lh)) & (iv_ref[0, 6:7, :L] > 0)
-    else:
-        Sy1v = lanei(Sy1)
-        Sx1v = lanei(Sx1)
-        phyv = lanei(phy)
-        phxv = lanei(phx)
-        okv = lanei(okl)
-        fxv = lanef(fxl)
-        fyv = lanef(fyl)
-        Xg = (jg_ * L + lane).astype(jnp.float32)       # (1, L)
-        lr_y = (Yg + fyv + half) / u - half             # (Ts, L)
-        lr_x = (Xg + fxv + half) / u - half
-        valid = (((lr_y >= 0) & (lr_y < lh)) &
-                 ((lr_x >= 0) & (lr_x < lw)) & (okv > 0))
-        center_x = Sx1v + (c_mod + phxv) // u           # (1, L)
-
-    center_y = Sy1v + (r_loc + phyv) // u               # (Ts, L) global
-
     # tap extraction: the column mapping depends only on dj — THREE
-    # selection matmuls of the flattened (c*SEG, XG*SEG) slab replace the
-    # 9*c per-tile lane concatenations; the di shift is a free row slice.
-    Uflat = u_slab[:].reshape(c * SEG, XG * SEG)
+    # selection matmuls of the flattened (c*YG*SEGP, XG*SEG) slab replace
+    # the 9*c per-tile lane concatenations; the (rb, di) shift is a free
+    # row slice.
+    Uflat = u_slab[:].reshape(c * YG * SEGP, XG * SEG)
     ti2 = jax.lax.broadcasted_iota(jnp.int32, (XG * SEG, L), 0)
     tj2 = jax.lax.broadcasted_iota(jnp.int32, (XG * SEG, L), 1)
     base_col = (tj2 // Ts) * SEG + (tj2 % Ts)
     taps_dj = []
     for dj in (-1, 0, 1):
         S = (ti2 == base_col + u * (dj + 1)).astype(jnp.float32)
-        taps_dj.append(_dot_sel(Uflat, S))               # (c*SEG, L)
+        taps_dj.append(_dot_sel(Uflat, S))               # (c*YG*SEGP, L)
 
-    def tap(ch, di, dj):
-        r0 = ch * SEG + u * (di + 1)
-        return taps_dj[dj + 1][r0:r0 + Ts, :]
+    for rb in range(YG):
+        def tap(ch, di, dj):
+            r0 = (ch * YG + rb) * SEGP + u * (di + 1)
+            return taps_dj[dj + 1][r0:r0 + Ts, :]
 
-    # hoist the 1-D Dodgson weights: each depends on a single loop index,
-    # so 3 + 3 kernel evaluations replace 3 + 9 (the VPU is the contended
-    # unit; _dogson is ~8 vector ops per evaluation)
-    wys = [_dogson(jnp.clip(center_y + di, 0, lh - 1).astype(jnp.float32)
-                   - lr_y) for di in (-1, 0, 1)]         # (Ts, L) each
-    wxs = [_dogson(jnp.clip(center_x + dj, 0, lw - 1).astype(jnp.float32)
-                   - lr_x) for dj in (-1, 0, 1)]
-    acc = [jnp.zeros((Ts, L), jnp.float32) for _ in range(c)]
-    w_acc = jnp.zeros((Ts, L), jnp.float32)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            wgt = wys[di + 1] * wxs[dj + 1]              # (Ts, L)
-            for ch in range(c):
-                acc[ch] = acc[ch] + tap(ch, di, dj) * wgt
-            w_acc = w_acc + wgt
+        Yg = ((i * YG + rb) * Ts + r_loc).astype(jnp.float32)   # (Ts, 1)
+        if pv:
+            b32 = lambda r: jax.lax.bitcast_convert_type(
+                iv_ref[0, rb * 8 + r:rb * 8 + r + 1, :L], jnp.float32)
+            Sy1v = iv_ref[0, rb * 8 + 1:rb * 8 + 2, :L]
+            phyv = iv_ref[0, rb * 8 + 2:rb * 8 + 3, :L]
+            center_x = iv_ref[0, rb * 8 + 3:rb * 8 + 4, :L]
+            fyv = b32(4)
+            lr_x = b32(5)
+            lr_y = (Yg + fyv + half) / u - half             # (Ts, L)
+            valid = ((lr_y >= 0) & (lr_y < lh)) & \
+                (iv_ref[0, rb * 8 + 6:rb * 8 + 7, :L] > 0)
+        else:
+            Sy1v = lanei(Sy1)
+            Sx1v = lanei(Sx1)
+            phyv = lanei(phy)
+            phxv = lanei(phx)
+            okv = lanei(okl)
+            fxv = lanef(fxl)
+            fyv = lanef(fyl)
+            Xg = (jg_ * L + lane).astype(jnp.float32)       # (1, L)
+            lr_y = (Yg + fyv + half) / u - half             # (Ts, L)
+            lr_x = (Xg + fxv + half) / u - half
+            valid = (((lr_y >= 0) & (lr_y < lh)) &
+                     ((lr_x >= 0) & (lr_x < lw)) & (okv > 0))
+            center_x = Sx1v + (c_mod + phxv) // u           # (1, L)
 
-    inv = 1.0 / w_acc
-    for ch in range(c):
-        hr_ref[ch] = acc[ch] * inv
-    valid_ref[:] = valid.astype(jnp.float32)
+        center_y = Sy1v + (r_loc + phyv) // u               # (Ts, L) global
+
+        # hoist the 1-D Dodgson weights: each depends on a single loop
+        # index, so 3 + 3 kernel evaluations replace 3 + 9 (the VPU is the
+        # contended unit; _dogson is ~8 vector ops per evaluation)
+        wys = [_dogson(jnp.clip(center_y + di, 0, lh - 1).astype(jnp.float32)
+                       - lr_y) for di in (-1, 0, 1)]         # (Ts, L) each
+        wxs = [_dogson(jnp.clip(center_x + dj, 0, lw - 1).astype(jnp.float32)
+                       - lr_x) for dj in (-1, 0, 1)]
+        acc = [jnp.zeros((Ts, L), jnp.float32) for _ in range(c)]
+        w_acc = jnp.zeros((Ts, L), jnp.float32)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                wgt = wys[di + 1] * wxs[dj + 1]              # (Ts, L)
+                for ch in range(c):
+                    acc[ch] = acc[ch] + tap(ch, di, dj) * wgt
+                w_acc = w_acc + wgt
+
+        inv = 1.0 / w_acc
+        for ch in range(c):
+            hr_ref[ch, rb * Ts:(rb + 1) * Ts] = acc[ch] * inv
+        valid_ref[rb * Ts:(rb + 1) * Ts] = valid.astype(jnp.float32)
