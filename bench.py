@@ -145,68 +145,102 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
     return min(times)
 
 
+def emit(state):
+    """Print the current result JSON line (superseding any earlier line).
+
+    The driver killed round 3's bench at its timeout BEFORE the single
+    end-of-run print — leaving rc=124 / parsed=null despite a finished 12MP
+    measurement. Now a full JSON line is (re-)emitted after EVERY completed
+    variant, each superseding the last, so a timeout at any point still
+    leaves the latest complete result parseable on stdout."""
+    if state.get("value") is None:
+        out = {"metric": "e2e_burst_x2SR_wallclock", "value": -1,
+               "unit": "s", "vs_baseline": 0}
+    else:
+        mpix = state["mpix"]
+        baseline = BASELINE_S * mpix / BASELINE_MPIX
+        out = {
+            "metric": f"e2e_{state['n_frames']}x{mpix:g}MP_burst_x2SR_wallclock",
+            "value": round(state["value"], 4),
+            "unit": "s",
+            "vs_baseline": round(baseline / state["value"], 3),
+        }
+        for key in ("dark_value", "dark64_value"):
+            if key in state:
+                out[key] = round(state[key], 4)
+    pending = state.get("pending", [])
+    if pending:
+        out["pending_variants"] = list(pending)
+    if state.get("failed"):
+        out["failed_variants"] = state["failed"]
+    print(json.dumps(out), flush=True)
+
+
 def main():
+    import signal
+
     import jax  # noqa: F401  (fail early if backend is broken)
     from hmsr_tpu.noise import run_fast_MC
 
     ALPHA, BETA = 1.8e-4, 3.0e-6
     N_FRAMES = 20
 
+    # If the driver's timeout SIGTERMs us mid-variant, still flush the best
+    # result so far (the handler can't interrupt a blocked remote compile,
+    # but it covers every point where Python bytecode runs).
+    state = {"failed": [], "n_frames": N_FRAMES,
+             "pending": ["bright", "dark", "dark64"]}
+
+    def on_term(signum, frame):
+        log("SIGTERM — emitting best-so-far result")
+        state.setdefault("failed", []).append(
+            {"variant": "timeout", "error": "SIGTERM during " +
+             (state["pending"][0] if state["pending"] else "teardown")})
+        emit(state)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+
     log("calibrating noise curves ...")
     t0 = time.perf_counter()
     std_curve, diff_curve = run_fast_MC(ALPHA, BETA)
     log(f"noise curves: {time.perf_counter()-t0:.1f}s")
 
-    failed = []                               # [{"variant":..., "error":...}]
-    sizes = [(1500, 2000), (3000, 4000)]      # known-good first, target last
-    results = {}
-    for h, w in sizes:
+    # Target size FIRST (round 3 burned 154 s compiling a 1500x2000 "known
+    # good" warmup and then timed out); the small size is only a fallback
+    # so a worker fault at 12MP still leaves a measured number.
+    for h, w in [(3000, 4000), (1500, 2000)]:
         try:
-            results[(h, w)] = bench_size(h, w, N_FRAMES, std_curve, diff_curve)
+            state["value"] = bench_size(h, w, N_FRAMES, std_curve, diff_curve)
+            state["mpix"] = h * w / 1e6
+            break
         except Exception as e:
             log(f"[{h}x{w}] FAILED: {type(e).__name__}: {e}")
-            failed.append({"variant": f"bright_{h}x{w}",
-                           "error": f"{type(e).__name__}: {e}"[:300]})
-            break
+            state["failed"].append({"variant": f"bright_{h}x{w}",
+                                    "error": f"{type(e).__name__}: {e}"[:300]})
 
-    if not results:
-        print(json.dumps({"metric": "e2e_burst_x2SR_wallclock",
-                          "value": -1, "unit": "s", "vs_baseline": 0,
-                          "failed_variants": failed}))
+    state["pending"].remove("bright")
+    emit(state)
+    if state.get("value") is None:
         sys.exit(1)
 
-    (h, w), best = max(results.items(), key=lambda kv: kv[0][0] * kv[0][1])
-    mpix = h * w / 1e6
-
-    # low-light variants (SNR-adaptive Ts=32/64 paths) at the largest
-    # successful size — reported alongside, never replacing the headline.
-    # A variant failure is NEVER silent: it lands in failed_variants and
-    # flips the exit code (the r02 dark crash sailed through rc=0).
-    extras = {}
+    # low-light variants (SNR-adaptive Ts=32/64 paths) at the same size —
+    # reported alongside, never replacing the headline. A variant failure is
+    # NEVER silent: it lands in failed_variants and flips the exit code
+    # (the r02 dark crash sailed through rc=0).
     for key, brightness, tag in [("dark_value", 0.07, " dark"),
                                  ("dark64_value", 0.02, " dark64")]:
         try:
-            extras[key] = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
-                                     brightness=brightness, tag=tag)
+            state[key] = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
+                                    brightness=brightness, tag=tag)
         except Exception as e:
             log(f"[{h}x{w}{tag}] FAILED: {type(e).__name__}: {e}")
-            failed.append({"variant": tag.strip(),
-                           "error": f"{type(e).__name__}: {e}"[:300]})
+            state["failed"].append({"variant": tag.strip(),
+                                    "error": f"{type(e).__name__}: {e}"[:300]})
+        state["pending"].remove(tag.strip())
+        emit(state)
 
-    # scale the reference baseline to the measured pixel count
-    baseline = BASELINE_S * mpix / BASELINE_MPIX
-    out = {
-        "metric": f"e2e_{N_FRAMES}x{mpix:g}MP_burst_x2SR_wallclock",
-        "value": round(best, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline / best, 3),
-    }
-    for key, v in extras.items():
-        out[key] = round(v, 4)
-    if failed:
-        out["failed_variants"] = failed
-    print(json.dumps(out))
-    if failed:
+    if state["failed"]:
         sys.exit(1)
 
 

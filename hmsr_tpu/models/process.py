@@ -264,23 +264,55 @@ def process_burst(burst, config):
             jax.block_until_ready(image)
             getTime(t_dn, " -- Frame-count denoising")
 
-    image = np.asarray(image)
-
     # ---- finishing ISP
-    if config.postprocessing.enabled:
+    # auto = device (jnp) chain whenever the cv2-Mertens exposure fusion is
+    # not requested (the chain is then a numerics-parity port —
+    # finishing/device.py); Mertens itself stays on the host like the
+    # reference's OpenCV call (raw2rgb.py:153-170), so do_tonemapping + cv2
+    # routes the whole chain through the host path.
+    pp = config.postprocessing
+    if pp.enabled:
+        finishing_impl = config.get("tpu", {}).get("finishing_impl", "auto")
+        needs_mertens = False
+        if pp.do_tonemapping and finishing_impl != "device":
+            try:
+                import cv2  # noqa: F401
+                needs_mertens = True
+            except ImportError:
+                pass
+        use_device = finishing_impl == "device" or \
+            (finishing_impl == "auto" and not needs_mertens)
         if verbose_2:
-            print("-- Post processing image")
+            print(f"-- Post processing image ({'device' if use_device else 'host'})")
         t_pp = time.perf_counter()
-        rgb = np.repeat(image, 3, axis=-1) if image.shape[-1] == 1 else image
-        image = postprocess(rgb,
-                            do_color_correction=config.postprocessing.do_color_correction,
-                            do_tonemapping=config.postprocessing.do_tonemapping,
-                            do_gamma=config.postprocessing.do_gamma_correction,
-                            sharpening_config=config.postprocessing.sharpening,
-                            do_devignette=config.postprocessing.do_devignetting,
-                            xyz2cam=burst.xyz2cam)
+        if use_device:
+            from ..finishing.device import make_postprocess_device
+            import jax
+            rgb = jnp.repeat(image, 3, axis=-1) \
+                if image.shape[-1] == 1 else jnp.asarray(image)
+            fin = jax.jit(make_postprocess_device(
+                do_color_correction=pp.do_color_correction,
+                do_tonemapping=pp.do_tonemapping,
+                do_gamma=pp.do_gamma_correction,
+                sharpening_config=pp.sharpening,
+                do_devignette=pp.do_devignetting,
+                xyz2cam=burst.xyz2cam))
+            image = np.asarray(fin(rgb))
+        else:
+            image = np.asarray(image)
+            rgb = np.repeat(image, 3, axis=-1) \
+                if image.shape[-1] == 1 else image
+            image = postprocess(rgb,
+                                do_color_correction=pp.do_color_correction,
+                                do_tonemapping=pp.do_tonemapping,
+                                do_gamma=pp.do_gamma_correction,
+                                sharpening_config=pp.sharpening,
+                                do_devignette=pp.do_devignetting,
+                                xyz2cam=burst.xyz2cam)
         if verbose_2:
             getTime(t_pp, " -- Finishing ISP")
+    else:
+        image = np.asarray(image)
 
     image = apply_orientation(image, burst.orientation)
     out_debug = {k: np.asarray(v) for k, v in debug.items()}

@@ -63,8 +63,22 @@ _PARAMVEC = _os.environ.get("HMSR_PARAMVEC", "1") != "0"
 #: kernel to attribute its per-program time. Values: "" (off, production),
 #: "noexp" (replace exp with a linear ramp), "notap" (skip the 9-tap loop),
 #: "nocov" (skip covariance realign/interp, use iso weights). Output is
-#: WRONG under any non-empty value.
-_DIAG = _os.environ.get("HMSR_MERGE_DIAG", "")
+#: WRONG under any non-empty value, so (like tpu.rob_trunc) it refuses to
+#: run unless the profiling harness has also set HMSR_DEBUG_TRUNC=1 — a
+#: stray env var from a diag session must not silently poison production.
+
+
+def _read_diag():
+    diag = _os.environ.get("HMSR_MERGE_DIAG", "")
+    if diag and _os.environ.get("HMSR_DEBUG_TRUNC") != "1":
+        raise ValueError(
+            "HMSR_MERGE_DIAG is a profiling-only knob that stubs out parts "
+            "of the merge kernel (output becomes meaningless). Unset it, or "
+            "set HMSR_DEBUG_TRUNC=1 if you are attributing performance.")
+    return diag
+
+
+_DIAG = _read_diag()
 
 
 def _dma_rows(win):

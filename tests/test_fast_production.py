@@ -1,0 +1,76 @@
+"""Tiny-size production-composition tests for the DEFAULT gate.
+
+The full-size versions of these live in tests/slow_manifest.txt (interpret
+-mode Pallas is ~minutes each on CPU); a regression in the TPU production
+path must NOT require --runslow to surface. Each test here is a minimal
+representative of one production-path family (VERDICT r03 weak #6):
+
+- the production Pallas merge kernel (interpret mode) vs its XLA twin,
+- the sharded (multi-chip) pipeline routing that same Pallas merge,
+- process_arrays called twice with the TPU-default matmul grey backend
+  (the r02 trace-cache crash).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_merge_interpret_tiny():
+    from tests.test_pallas_merge import run_both
+
+    gn, gd, wn, wd = run_both(2, 16, True, False, seed=7, h=32, w=32)
+    np.testing.assert_allclose(gn, wn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(gd, wd, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_pallas_merge_tiny():
+    from tests.test_parallel import (DEFAULT_CFA, WB, curves, make_mesh,
+                                     make_pipeline, make_sharded_pipeline,
+                                     make_synthetic_burst, pad_frames,
+                                     small_config, ALPHA, BETA)
+
+    ref, comps, _, _ = make_synthetic_burst(32, 32, n_frames=4, alpha=ALPHA,
+                                            beta=BETA, seed=23)
+    c = small_config()
+    std, diff = curves()
+
+    single = make_pipeline(c, DEFAULT_CFA, WB)
+    want, _ = single(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+
+    c.tpu.merge_impl = "pallas"
+    c.tpu.pallas_interpret = True
+    mesh = make_mesh(2, 2)
+    pipe = make_sharded_pipeline(c, DEFAULT_CFA, WB, mesh)
+    frames, weights = pad_frames(comps, 2)
+    got, _ = pipe(jnp.asarray(ref), jnp.asarray(frames),
+                  jnp.asarray(weights), std, diff)
+    np.testing.assert_allclose(np.nan_to_num(np.asarray(got)),
+                               np.nan_to_num(np.asarray(want)),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_process_twice_matmul_grey_tiny():
+    from hmsr_tpu.configs import default_config
+    from hmsr_tpu.models.process import process_arrays
+    from hmsr_tpu.ops.grey import _CIRC_CACHE
+
+    _CIRC_CACHE.clear()
+    rng = np.random.RandomState(1)
+    frames = rng.rand(2, 32, 32).astype(np.float32) * 0.5 + 0.25
+    config = default_config()
+    config.scale = 1
+    config.verbose = 0
+    config.block_matching.tuning.factors = [1, 2]
+    config.block_matching.tuning.tile_size_factors = [1, 1]
+    config.block_matching.tuning.search_radii = [1, 4]
+    config.block_matching.tuning.metrics = ["L1", "L2"]
+    config.tpu.grey_impl = "matmul"
+    config.noise_model.alpha = 1.8e-4
+    config.noise_model.beta = 3.0e-6
+    out1, _ = process_arrays(frames[0], frames[1:], config)
+    out2, _ = process_arrays(frames[0], frames[1:], config)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
