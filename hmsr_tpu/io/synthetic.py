@@ -85,6 +85,69 @@ def area_downsample(img, factor):
         h2, factor, w2, factor, -1).mean(axis=(1, 3))
 
 
+def _disc_alpha(h, w, cy, cx, radius, feather=1.5):
+    """Soft-edged disc mask in [0, 1]: 1 inside, cosine rolloff over
+    ``feather`` pixels (band-limited-ish so area_downsample stays honest)."""
+    yy = np.arange(h)[:, None] - cy
+    xx = np.arange(w)[None, :] - cx
+    d = np.hypot(yy, xx) - radius
+    t = np.clip(d / feather + 0.5, 0.0, 1.0)
+    return (0.5 * (1.0 + np.cos(np.pi * t))).astype(np.float32)
+
+
+def make_occlusion_burst(h, w, n_frames, alpha=1.8e-4, beta=3.0e-6, seed=0,
+                         max_shift=2.0, cfa=DEFAULT_CFA, sr_factor=2,
+                         object_radius=None, velocity=None):
+    """Burst with LOCAL MOTION: a textured disc moves across the scene
+    (several raw px/frame) on top of the global handheld shifts.
+
+    Exercises the robustness model's actual purpose (reference Algs. 6-9,
+    robustness.py:79-170 — reject comp-frame content that disagrees with
+    the reference frame): aligned comp frames show the disc elsewhere, so a
+    merge WITHOUT robustness ghosts the disc along its trajectory. The
+    reference validates this only via the IPOL demo on real bursts; this
+    scene provides a measurable stand-in with exact ground truth.
+
+    Returns (ref_raw, comp_raws, truth, ghost_mask):
+      truth      — the frame-0 scene on the (h*sr, w*sr) grid (no noise);
+      ghost_mask — HR bool, True where ANY frame's disc footprint lands
+                   (the region a robustness-less merge can corrupt).
+    """
+    rng = np.random.RandomState(seed)
+    hr_h, hr_w = h * sr_factor, w * sr_factor
+    bg = smooth_rgb(hr_h, hr_w, seed=seed)
+    obj = smooth_rgb(hr_h, hr_w, seed=seed + 1)[..., ::-1] * 0.9 + 0.05
+    radius = (min(h, w) / 8.0 if object_radius is None else object_radius)
+    radius *= sr_factor
+    if velocity is None:
+        velocity = (3.0, 5.0)                        # raw px / frame
+    vy, vx = velocity[0] * sr_factor, velocity[1] * sr_factor
+    cy0, cx0 = hr_h * 0.35, hr_w * 0.3
+
+    shifts = np.zeros((n_frames, 2), np.float32)
+    shifts[1:] = rng.uniform(-max_shift, max_shift, size=(n_frames - 1, 2))
+
+    frames, ghost = [], np.zeros((hr_h, hr_w), bool)
+    truth = None
+    for n in range(n_frames):
+        dx, dy = shifts[n]
+        a = _disc_alpha(hr_h, hr_w, cy0 + n * vy, cx0 + n * vx, radius)
+        scene = bg * (1 - a[..., None]) + obj * a[..., None]
+        if n == 0:
+            truth = scene.astype(np.float32)
+        # the disc's frame-n footprint, seen in REF-frame coordinates after
+        # perfect global alignment, is its un-shifted position
+        ghost |= a > 1e-3
+        hr_shifted = spectral_shift(scene, dx * sr_factor, dy * sr_factor)
+        lr = area_downsample(hr_shifted, sr_factor)
+        raw = mosaic(lr.astype(np.float32), cfa)
+        noise = np.sqrt(np.maximum(alpha * raw + beta, 0)) * \
+            rng.randn(*raw.shape)
+        frames.append(np.clip(raw + noise, 0.0, 1.0).astype(np.float32))
+
+    return frames[0], np.stack(frames[1:]), truth, ghost
+
+
 def make_synthetic_burst(h, w, n_frames, alpha=1.8e-4, beta=3.0e-6, seed=0,
                          max_shift=2.0, cfa=DEFAULT_CFA, grey=False, sr_factor=2):
     """Build (ref_raw, comp_raws, ground_truth, shifts).

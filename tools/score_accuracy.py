@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--oracle-size", type=int, default=128)
     ap.add_argument("--oracle-frames", type=int, default=4)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--skip-robustness", action="store_true")
+    ap.add_argument("--occlusion-size", type=int, default=384)
+    ap.add_argument("--occlusion-frames", type=int, default=12)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -148,6 +151,42 @@ def main():
         print(f"[oracle {oh}x{ow} x{args.oracle_frames}] PSNR = "
               f"{psnr_oracle:.2f} dB, MAE = {mae:.3g} "
               f"(oracle {t_oracle:.0f}s)", flush=True)
+
+    # ---- 3. Robustness value on a LOCAL-MOTION scene (VERDICT r03 #6):
+    # a textured disc moves ~6 raw px/frame, so aligned comp frames show it
+    # elsewhere; robustness must reject that content. Score the x2 SR
+    # output vs truth with robustness ON vs OFF, globally and on the
+    # ghost-prone region (union of the disc's footprints).
+    if not args.skip_robustness:
+        from hmsr_tpu.io.synthetic import make_occlusion_burst
+        oh = ow = args.occlusion_size
+        rref, rcomps, rtruth, ghost = make_occlusion_burst(
+            oh, ow, n_frames=args.occlusion_frames, alpha=ALPHA, beta=BETA,
+            seed=21, max_shift=2.0)
+        rconfig = build_config(oh, ow, ALPHA, BETA)
+        crop = 2 * int(rconfig.block_matching.tuning.tile_size)
+        inner = np.zeros(ghost.shape, bool)
+        inner[crop:-crop, crop:-crop] = True
+        rob = {"size": [oh, ow], "frames": args.occlusion_frames,
+               "ghost_fraction": round(float(ghost[inner].mean()), 4)}
+        for label, enabled in (("on", True), ("off", False)):
+            c = build_config(oh, ow, ALPHA, BETA)
+            c.robustness.enabled = enabled
+            if not enabled:
+                c.robustness.save_mask = False
+            img = run_jax_pipeline(rref, rcomps, c, DEFAULT_CFA, WB,
+                                   std, diff)
+            img = np.nan_to_num(img, nan=0.0)
+            g = inner & ghost
+            rob[f"psnr_ghost_{label}_db"] = round(
+                psnr(img[g], rtruth[g]), 3)
+            rob[f"psnr_global_{label}_db"] = round(
+                psnr(img[inner], rtruth[inner]), 3)
+            print(f"[occlusion {oh}x{ow} x{args.occlusion_frames} rob={label}] "
+                  f"ghost PSNR = {rob[f'psnr_ghost_{label}_db']:.2f} dB, "
+                  f"global = {rob[f'psnr_global_{label}_db']:.2f} dB",
+                  flush=True)
+        result["robustness_value"] = rob
 
     out = args.out or "ACCURACY.json"
     with open(out, "w") as f:
