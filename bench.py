@@ -145,6 +145,48 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
     return min(times)
 
 
+def bench_finishing(h, w, n_runs=3):
+    """Time the device finishing ISP at the SR output size (2h, 2w, 3).
+
+    The reference's < 4 s covers its whole ``process()`` including the host
+    postprocess (super_resolution.py:331-343, raw2rgb.py:212-250); the
+    headline here times only the jitted device pipeline, so the finishing
+    chain (default config: sharpening + gamma — finishing/device.py) is
+    measured separately and reported as ``finishing_value`` /
+    ``incl_finishing_value`` (VERDICT r03 weak #8)."""
+    import jax
+    import jax.numpy as jnp
+    from hmsr_tpu.finishing.device import make_postprocess_device
+
+    sh, sw = 2 * h, 2 * w
+    fin = make_postprocess_device(
+        do_color_correction=False, do_tonemapping=False, do_gamma=True,
+        sharpening_config={"enabled": True, "amount": 1.5, "radius": 3})
+
+    def run(img):
+        out = fin(img)
+        sub = out[::31, ::37]
+        return jnp.sum(sub)
+
+    fn = jax.jit(run)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(sh, sw, 3).astype(np.float32))
+    t0 = time.perf_counter()
+    v = float(np.asarray(fn(img)))
+    log(f"[finishing {sh}x{sw}x3] compile+run {time.perf_counter()-t0:.1f}s "
+        f"checksum={v:.3f}")
+    times = []
+    for i in range(n_runs):
+        img_i = img + jnp.float32(1e-7 * (i + 1))
+        _ = float(np.asarray(jnp.sum(img_i[::512, ::512, 0])))
+        t0 = time.perf_counter()
+        v = float(np.asarray(fn(img_i)))
+        times.append(time.perf_counter() - t0)
+        log(f"[finishing {sh}x{sw}x3] run {i}: {times[-1]:.3f}s "
+            f"checksum={v:.3f}")
+    return min(times)
+
+
 def emit(state):
     """Print the current result JSON line (superseding any earlier line).
 
@@ -165,9 +207,12 @@ def emit(state):
             "unit": "s",
             "vs_baseline": round(baseline / state["value"], 3),
         }
-        for key in ("dark_value", "dark64_value"):
+        for key in ("dark_value", "dark64_value", "finishing_value"):
             if key in state:
                 out[key] = round(state[key], 4)
+        if "finishing_value" in state:
+            out["incl_finishing_value"] = round(
+                state["value"] + state["finishing_value"], 4)
     pending = state.get("pending", [])
     if pending:
         out["pending_variants"] = list(pending)
@@ -189,7 +234,7 @@ def main():
     # result so far (the handler can't interrupt a blocked remote compile,
     # but it covers every point where Python bytecode runs).
     state = {"failed": [], "n_frames": N_FRAMES,
-             "pending": ["bright", "dark", "dark64"]}
+             "pending": ["bright", "finishing", "dark", "dark64"]}
 
     def on_term(signum, frame):
         log("SIGTERM — emitting best-so-far result")
@@ -223,6 +268,16 @@ def main():
     emit(state)
     if state.get("value") is None:
         sys.exit(1)
+
+    # finishing ISP at the SR output size (process()-inclusive reporting)
+    try:
+        state["finishing_value"] = bench_finishing(h, w)
+    except Exception as e:
+        log(f"[finishing] FAILED: {type(e).__name__}: {e}")
+        state["failed"].append({"variant": "finishing",
+                                "error": f"{type(e).__name__}: {e}"[:300]})
+    state["pending"].remove("finishing")
+    emit(state)
 
     # low-light variants (SNR-adaptive Ts=32/64 paths) at the same size —
     # reported alongside, never replacing the headline. A variant failure is

@@ -374,6 +374,12 @@ def merge_burst_slab(comp_stack, flows, covs_stack, r_stack, ref_img,
         else:
             num = vals + rval
             den = accs + racc
+        # per-slab normalization: the starved-pixel refill sees only this
+        # B-row slab (bounded-memory by design — this path exists to avoid
+        # materializing full num/den). At starved pixels near slab edges the
+        # refill mixes a truncated neighborhood, so outputs there can differ
+        # ~1e-2 from the scan/sharded paths' full-context refill (both are
+        # convex mixes of valid neighbors; see accumfix.normalize_accum).
         return normalize_accum(num, den)                        # (c, B, OW)
 
     def band(ty0):

@@ -14,9 +14,12 @@ window simultaneously performs the sub-tile alignment shift, the s-fold
 nearest upsampling, and the phase normalization — no dynamic lane indexing
 anywhere (Mosaic cannot lower it).
 
-Grid: (nty, NTXP/XG) with XG tiles per program so every VMEM block's lane
-dimension is 128-divisible. Scalar-prefetched per-tile parameters drive the
-DMAs. f32 throughout (parity with the reference).
+Grid: (nty/YG, NTXP/XG) with a (YG, XG) tile block per program so every
+VMEM block's lane dimension is 128-divisible and the per-program fixed cost
+(grid dispatch, DMA issue/wait, scalar prologue) is amortized over YG*XG
+tiles (YG row-blocking mirrors pallas_ica; HMSR_MERGE_YG). Scalar-prefetched
+per-tile parameters drive the DMAs. f32 throughout (parity with the
+reference).
 """
 
 import functools
@@ -34,6 +37,24 @@ _DMA_COLS = 256         # DMA block width (cols, 2 lane tiles)
 # program width multiplier (see pallas_ica._XG_MULT)
 import os as _os
 _XG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_XG", "2")))
+
+#: program HEIGHT: YG tile ROWS per program (sublane batching, mirroring
+#: pallas_ica._YG_MULT). Requires the vectorized parameter planes
+#: (HMSR_PARAMVEC=1). Default 1: measured at 12MP/Ts=16 (coherent frames,
+#: tools/bisect_pipeline.py, round 4), YG=4 REGRESSES the merge stage
+#: 0.50 s -> 0.97 s per burst (through-merge 1.629 s -> 2.097 s, identical
+#: checksums). Unlike the short-bodied ICA/BM/warp programs, the merge
+#: slab phase is a LONG serial VPU body — YG-stacking serializes YG slab
+#: phases inside one program and kills cross-program DMA/compute
+#: pipelining (same lesson as the fused BM+GN experiment, CLAUDE.md).
+#: The knob stays for re-testing on other geometries/backends.
+_YG_MULT = max(1, int(_os.environ.get("HMSR_MERGE_YG", "1")))
+
+
+def _yg(ts):
+    if not _PARAMVEC:
+        return 1
+    return max(1, min(_YG_MULT, 64 // int(ts), 4))
 
 #: row-realignment strategy: "matmul" (default) uses per-tile 0/1 selection
 #: matmuls (XG small MXU ops per program x 3 bf16 passes — the MXU is idle
@@ -125,21 +146,23 @@ def _precompute_tile_params(flow, s, g, Ts, H, W, gh, gw, PAD, CPAD, WIN, CWIN):
 
 
 def _group_bases(params, XG, GR_C, GCOLS, hpc, wpc, WIN,
-                 GR_K, hpk, wpk, CWIN, iso, GCOLS_K=None):
-    """Per-(row, group) speculative DMA bases + fit flags, precomputed.
+                 GR_K, hpk, wpk, CWIN, iso, GCOLS_K=None, yg=1):
+    """Per-(row-block, group) speculative DMA bases + fit flags, precomputed.
 
     Mirrors the kernel's ``bounds()`` / ``fit`` logic exactly (min/max of the
-    XG tile window corners, clipped and 8/128-aligned). Layout: (nb, 1, nj*8)
-    int32 rows of [gby_c, gbx_c, gbyk, gbxk, fit_c, fit_k, 0, 0] per group.
+    (yg, XG) tile-block window corners, clipped and 8/128-aligned). Layout:
+    (nb//yg, 1, nj*8) int32 rows of [gby_c, gbx_c, gbyk, gbxk, fit_c, fit_k,
+    0, 0] per group.
     """
     nb, NTXP, _ = params.shape
     nj = NTXP // XG
-    p = params.reshape(nb, nj, XG, params.shape[-1])
+    nbB = nb // yg
+    p = params.reshape(nbB, yg, nj, XG, params.shape[-1])
 
     def base(vals, lim, align, gr):
-        mn = jnp.min(vals, axis=2)
+        mn = jnp.min(vals, axis=(1, 3))
         return (jnp.clip(mn, 0, lim - gr) // align) * align, \
-            jnp.max(vals, axis=2)
+            jnp.max(vals, axis=(1, 3))
 
     gby, mxy = base(p[..., 0], hpc, 8, GR_C)
     gbx, mxx = base(p[..., 1], wpc, 128, GCOLS)
@@ -155,7 +178,7 @@ def _group_bases(params, XG, GR_C, GCOLS, hpc, wpc, WIN,
                  (mxxk - gbxk <= GCOLS_K - CWIN)).astype(jnp.int32)
     z = jnp.zeros_like(gby)
     g8 = jnp.stack([gby, gbx, gbyk, gbxk, fit_c, fit_k, z, z], axis=-1)
-    return g8.reshape(nb, 1, nj * 8), (gby, gbx), (gbyk, gbxk)
+    return g8.reshape(nbB, 1, nj * 8), (gby, gbx), (gbyk, gbxk)
 
 
 def _csrc_planes(params, XG, SEG, CSEG, s, sg, gbx, gbxk, iso):
@@ -193,7 +216,7 @@ def _lane_planes(params, flow_t, s, g, B, H, W, iso):
     pure restructuring so the kernel's scalar core stops being the
     bottleneck. Returns (iv (nb, 8, NTXP*B) int32, fv (nb, 8, NTXP*B) f32):
 
-    iv rows: 0 Sy1, 1 phy, 2 center_j, 3 S2y1, 4 ph2y
+    iv rows: 0 Sy1, 1 phy, 2 center_j, 3 S2y1, 4 ph2y, 5 HR row base (ty*B)
     fv rows: 0 fy, 1 lr_mov_x, 2 frac_x, 3 xok (x-in-bounds & tile-ok)
     """
     nb, NTXP, _ = params.shape
@@ -226,7 +249,7 @@ def _lane_planes(params, flow_t, s, g, B, H, W, iso):
         rows += [jnp.zeros((nb, NTXP, B), dtype)] * (8 - len(rows))
         return jnp.stack(rows, axis=1).reshape(nb, 8, NTXP * B)
 
-    iv = plane([Sy1, phy, center_j, S2y1, ph2y], jnp.int32)
+    iv = plane([Sy1, phy, center_j, S2y1, ph2y, tile(13)], jnp.int32)
     fv = plane([jnp.broadcast_to(fy, (nb, NTXP, B)), lr_mov_x, frac_x, xok],
                jnp.float32)
     return iv, fv
@@ -245,7 +268,10 @@ def padded_accum_shape(config, in_shape, n_ch=None):
     H, W = in_shape
     out_h, out_w = s * H, s * W
     B = Ts * s
-    nty = -(-out_h // B)
+    # rows padded to a multiple of the YG row-block so the (YG, XG)-tile
+    # program grid covers the accumulator exactly (excess rows have ok=0
+    # params -> exactly zero contribution; cropped by the caller)
+    nty = -(-(-(-out_h // B)) // _yg(Ts)) * _yg(Ts)
     ntx = -(-out_w // B)
     XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
@@ -354,7 +380,7 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
     NTXP = -(-ntx // XG) * XG
 
     # band geometry: nb tile rows starting at tile row row_offset // B.
-    # Full-grid callers (nb == nty, offset 0) keep the all-static fast path.
+    # Full-grid callers (nb >= nty, offset 0) keep the all-static fast path.
     in_place = (num.shape[1] % B == 0 and num.shape[2] == NTXP * B
                 and num.shape == den.shape)
     static_zero_off = isinstance(row_offset, int) and row_offset == 0
@@ -362,9 +388,20 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
     if not in_place:
         assert static_zero_off, \
             "row_offset requires the padded_accum_shape (band) geometry"
-    banded = in_place and (nb != nty or not static_zero_off)
-    # static row bound every band fits in: ceil(nty/nb) bands of nb rows
-    nty_p = -(-nty // nb) * nb if banded else nty
+    banded = in_place and (nb < nty or not static_zero_off)
+    # YG row-blocking: the grid rows must divide into YG-blocks; callers at
+    # the padded_accum_shape geometry do by construction, anything else
+    # (legacy row counts, odd sharded bands) falls back to YG=1
+    YG = _yg(Ts)
+    if in_place and nb % YG:
+        YG = 1
+    if banded:
+        # static row bound every band fits in: ceil(nty/nb) bands of nb rows
+        nty_p = -(-nty // nb) * nb
+        grid_rows = nb
+    else:
+        grid_rows = nb if in_place else -(-nty // YG) * YG
+        nty_p = grid_rows
 
     r_pad = jnp.pad(r_stack, ((0, 0), (0, nty_p * Ts - H),
                               (0, NTXP * Ts - W)), mode="edge")
@@ -380,52 +417,62 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
         flow_t = jnp.concatenate(
             [flow_t, jnp.zeros((F, nty, NTXP - ntx, 2), DEFAULT_FLOAT)],
             axis=2)
+    if nty_p != nty:
+        # zero params rows: ok-flag 0 -> zero contribution (see docstring)
+        params = jnp.concatenate(
+            [params, jnp.zeros((F, nty_p - nty, NTXP, 14), params.dtype)],
+            axis=1)
+        flow_t = jnp.concatenate(
+            [flow_t, jnp.zeros((F, nty_p - nty, NTXP, 2), flow_t.dtype)],
+            axis=1)
     if banded:
-        if nty_p != nty:
-            # zero params rows: ok-flag 0 -> zero contribution (see docstring)
-            params = jnp.concatenate(
-                [params, jnp.zeros((F, nty_p - nty, NTXP, 14), params.dtype)],
-                axis=1)
-            flow_t = jnp.concatenate(
-                [flow_t, jnp.zeros((F, nty_p - nty, NTXP, 2), flow_t.dtype)],
-                axis=1)
         t0 = jnp.asarray(row_offset, jnp.int32) // B
         params = jax.lax.dynamic_slice_in_dim(params, t0, nb, axis=1)
         flow_t = jax.lax.dynamic_slice_in_dim(flow_t, t0, nb, axis=1)
         r_pad = jax.lax.dynamic_slice_in_dim(r_pad, t0 * Ts, nb * Ts, axis=1)
-    params_flat = params.reshape(F * nb, 1, NTXP * 14)
-    flow_f = flow_t.reshape(F * nb, 1, NTXP * 2)
+    nbB = grid_rows // YG              # row-blocks in the program grid
+    params_flat = params.reshape(F * nbB, 1, YG * NTXP * 14)
+    flow_f = flow_t.reshape(F * nbB, 1, YG * NTXP * 2)
 
     GCOLS_C = _gcols(XG * Ts + WIN)
     GCOLS_K = _gcols(XG * Ts // g + CWIN)
+    # group windows cover a (YG, XG) tile block: consecutive tile rows step
+    # Ts (comp) / Ts//g (cov) source rows, plus the same flow-variation
+    # slack margins as the YG=1 layout
+    GR_C = _dma_rows((YG - 1) * Ts + WIN) + 16
+    GR_K = _dma_rows((YG - 1) * (Ts // g) + CWIN) + 16
     if _PARAMVEC:
         gvec, (gby_a, gbx_a), (gbyk_a, gbxk_a) = jax.vmap(
             lambda p: _group_bases(
-                p, XG, _dma_rows(WIN) + 16, GCOLS_C,
+                p, XG, GR_C, GCOLS_C,
                 comp_pad.shape[1], comp_pad.shape[2], WIN,
-                _dma_rows(CWIN) + 16, cov_pad.shape[2], cov_pad.shape[3],
-                CWIN, iso, GCOLS_K=GCOLS_K))(params)
-        # one SMEM row per TILE ROW holding ALL frames' group bases — the
+                GR_K, cov_pad.shape[2], cov_pad.shape[3],
+                CWIN, iso, GCOLS_K=GCOLS_K, yg=YG))(params)
+        # one SMEM row per ROW-BLOCK holding ALL frames' group bases — the
         # speculative DMA issue for the next grid step (same group, frame
         # n+1, or group j+1, frame 0) reads across the frame axis
         gvec = jnp.transpose(gvec, (1, 0, 2, 3)).reshape(
-            nb, 1, F * gvec.shape[-1])
-        rep = lambda a: jnp.repeat(a, XG, axis=2)            # (F, nb, NTXP)
+            nbB, 1, F * gvec.shape[-1])
+        repy = lambda a: jnp.repeat(a, YG, axis=1) if YG > 1 else a
+        rep = lambda a: jnp.repeat(repy(a), XG, axis=2)      # (F, rows, NTXP)
         off_c = (params[..., 0] - rep(gby_a)) * s + params[..., 2]
         off_k = (params[..., 4] - rep(gbyk_a)) * sg + params[..., 6] \
             if not iso else jnp.zeros_like(off_c)
-        offs = jnp.stack([off_c, off_k], axis=-1).reshape(F * nb, 1, NTXP * 2)
+        offs = jnp.stack([off_c, off_k], axis=-1).reshape(
+            F * nbB, 1, YG * NTXP * 2)
         iv, fv = jax.vmap(lambda p, f: _lane_planes(
             p, f, s, g, B, H, W, iso))(params, flow_t)
-        iv = iv.reshape(F * nb, 8, NTXP * B)
-        fv = fv.reshape(F * nb, 8, NTXP * B)
+        # row-block rb's planes at sublanes [rb*8, rb*8+8) (pallas_ica
+        # _pv_pack layout)
+        iv = iv.reshape(F * nbB, YG * 8, NTXP * B)
+        fv = fv.reshape(F * nbB, YG * 8, NTXP * B)
         CW = -(-max(XG * (B + 2 * s), XG * (B + 2 * sg)) // 128) * 128
         cv = jax.vmap(lambda p, gx, gxk: _csrc_planes(
             p, XG, B + 2 * s, B + 2 * sg, s, sg, gx, gxk, iso)[0]
-        )(params, gbx_a, gbxk_a)
-        cv = cv.reshape(F * nb, 8, cv.shape[-1])
+        )(params, repy(gbx_a), repy(gbxk_a))
+        cv = cv.reshape(F * nbB, YG * 8, cv.shape[-1])
 
-    rry = jnp.asarray(np.kron(np.eye(Ts, dtype=np.float32),
+    rry = jnp.asarray(np.kron(np.eye(YG * Ts, dtype=np.float32),
                               np.ones((s, 1), np.float32)))
     rrx = jnp.asarray(np.kron(np.eye(XG * Ts, dtype=np.float32),
                               np.ones((1, s), np.float32)))
@@ -435,41 +482,52 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
     # (measured: dark64 bench AOT OOM). Ts=64 runs few, huge programs, so
     # the per-tile matmul realignment it falls back to is launch-cheap.
     use_slice = _REALIGN == "slice" and Ts <= 32
+    SEG = B + 2 * s
+    CSEG = B + 2 * sg
+    # row-block sublane pitch in the U / covariance slabs (8-aligned so
+    # every block start is a legal static sublane offset; YG=1 keeps the
+    # exact legacy slab shapes)
+    SEGP = SEG if YG == 1 else -(-SEG // 8) * 8
+    CSEGP = CSEG if YG == 1 else -(-CSEG // 8) * 8
     kernel = functools.partial(
         _merge_group_kernel, s=s, g=g, Ts=Ts, B=B, XG=XG, WIN=WIN, CWIN=CWIN,
         H=H, W=W, iso=iso, bayer=bayer, n_ch=n_ch, cfa=cfa,
         hpc=comp_pad.shape[1], wpc=comp_pad.shape[2],
         hpk=cov_pad.shape[2], wpk=cov_pad.shape[3], in_place=in_place,
-        use_slice=use_slice, pv=_PARAMVEC, F=F)
+        use_slice=use_slice, pv=_PARAMVEC, F=F,
+        YG=YG, SEGP=SEGP, CSEGP=CSEGP)
 
     # frames innermost: the accumulator index map ignores n, so the num/den
     # block is revisited in place across all F frames (written back once)
-    acc_spec = pl.BlockSpec((n_ch, B, XG * B), lambda i, j, n: (0, i, j),
+    acc_spec = pl.BlockSpec((n_ch, YG * B, XG * B), lambda i, j, n: (0, i, j),
                             memory_space=pltpu.VMEM)
     pv_specs = [
         pl.BlockSpec((1, 1, F * (NTXP // XG) * 8), lambda i, j, n: (i, 0, 0),
                      memory_space=pltpu.SMEM),       # group bases + fits
-        pl.BlockSpec((1, 1, NTXP * 2), lambda i, j, n: (n * nb + i, 0, 0),
+        pl.BlockSpec((1, 1, YG * NTXP * 2), lambda i, j, n: (n * nbB + i, 0, 0),
                      memory_space=pltpu.SMEM),       # per-tile slice offsets
-        pl.BlockSpec((1, 8, XG * B), lambda i, j, n: (n * nb + i, 0, j),
+        pl.BlockSpec((1, YG * 8, XG * B), lambda i, j, n: (n * nbB + i, 0, j),
                      memory_space=pltpu.VMEM),       # int lane planes
-        pl.BlockSpec((1, 8, XG * B), lambda i, j, n: (n * nb + i, 0, j),
+        pl.BlockSpec((1, YG * 8, XG * B), lambda i, j, n: (n * nbB + i, 0, j),
                      memory_space=pltpu.VMEM),       # f32 lane planes
-        pl.BlockSpec((1, 8, CW), lambda i, j, n: (n * nb + i, 0, j),
+        pl.BlockSpec((1, YG * 8, CW), lambda i, j, n: (n * nbB + i, 0, j),
                      memory_space=pltpu.VMEM),       # column-source planes
     ] if _PARAMVEC else []
     grid_spec = pl.GridSpec(
-        grid=(nb, NTXP // XG, F),
+        grid=(nbB, NTXP // XG, F),
         in_specs=[
-            # per-row SMEM parameter blocks (full prefetch would blow SMEM)
-            pl.BlockSpec((1, 1, NTXP * 14), lambda i, j, n: (n * nb + i, 0, 0),
-                         memory_space=pltpu.SMEM),   # params row
-            pl.BlockSpec((1, 1, NTXP * 2), lambda i, j, n: (n * nb + i, 0, 0),
-                         memory_space=pltpu.SMEM),   # flow row
+            # per-row-block SMEM parameter blocks (full prefetch would blow
+            # SMEM)
+            pl.BlockSpec((1, 1, YG * NTXP * 14),
+                         lambda i, j, n: (n * nbB + i, 0, 0),
+                         memory_space=pltpu.SMEM),   # params rows
+            pl.BlockSpec((1, 1, YG * NTXP * 2),
+                         lambda i, j, n: (n * nbB + i, 0, 0),
+                         memory_space=pltpu.SMEM),   # flow rows
             pl.BlockSpec(memory_space=pltpu.HBM),    # comp_pad (F, hpc, wpc)
             pl.BlockSpec(memory_space=pltpu.HBM),    # cov_pad (F, 3, ...)
-            pl.BlockSpec((1, Ts, XG * Ts), lambda i, j, n: (n, i, j),
-                         memory_space=pltpu.VMEM),   # r tile group
+            pl.BlockSpec((1, YG * Ts, XG * Ts), lambda i, j, n: (n, i, j),
+                         memory_space=pltpu.VMEM),   # r tile block
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rry
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rrx
         ] + pv_specs + ([acc_spec, acc_spec] if in_place else []),
@@ -477,17 +535,17 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_C, _DMA_COLS), jnp.float32),   # tile fallback
             pltpu.VMEM((2, 3, ROWS_K, _DMA_COLS), jnp.float32),
-            pltpu.VMEM((2, ROWS_C + 16, GCOLS_C), jnp.float32),   # comp x2
-            pltpu.VMEM((2, 3, ROWS_K + 16, GCOLS_K if not iso else 128),
-                       jnp.float32),                              # cov x2
-            pltpu.VMEM((B + 2 * s, XG * (B + 2 * s)), jnp.float32),   # U slab
-            pltpu.VMEM((3, B + 2 * sg, XG * (B + 2 * sg)), jnp.float32),
+            pltpu.VMEM((2, GR_C, GCOLS_C), jnp.float32),       # comp group x2
+            pltpu.VMEM((2, 3, GR_K, GCOLS_K if not iso else 128),
+                       jnp.float32),                           # cov group x2
+            pltpu.VMEM((YG * SEGP, XG * SEG), jnp.float32),    # U slab
+            pltpu.VMEM((3, YG * CSEGP, XG * CSEG), jnp.float32),
         ] + ([
             # upsampled column-aligned slabs for the dynamic-slice row
             # realignment (comp; covariance per channel); +8 rows of slack
             # for the 8-aligned reads of _dyn_rows
-            pltpu.VMEM((s * (ROWS_C + 16) + 8, XG * (B + 2 * s)), jnp.float32),
-            pltpu.VMEM((sg * (ROWS_K + 16) + 8, XG * (B + 2 * sg)), jnp.float32),
+            pltpu.VMEM((s * GR_C + 8, XG * SEG), jnp.float32),
+            pltpu.VMEM((sg * GR_K + 8, XG * CSEG), jnp.float32),
         ] if use_slice else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -505,8 +563,8 @@ def _merge_frames_pallas(comp_stack, flow_stack, covs_stack, r_stack,
     # under shard_map the outputs inherit num's varying mesh axes (vma);
     # outside one jax.typeof(...).vma is the empty frozenset -> plain struct
     vma = getattr(jax.typeof(num), "vma", frozenset())
-    out_struct = jax.ShapeDtypeStruct((n_ch, nb * B, NTXP * B), jnp.float32,
-                                      vma=vma if vma else None)
+    out_struct = jax.ShapeDtypeStruct((n_ch, grid_rows * B, NTXP * B),
+                                      jnp.float32, vma=vma if vma else None)
     val, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -584,16 +642,17 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                         rry, rrx, *refs,
                         s, g, Ts, B, XG, WIN, CWIN, H, W, iso, bayer,
                         n_ch, cfa, hpc, wpc, hpk, wpk, in_place, use_slice,
-                        pv=False, F=1):
-    """One output row-group of XG tiles.
+                        pv=False, F=1, YG=1, SEGP=None, CSEGP=None):
+    """One output block of (YG, XG) tiles.
 
     Window fetches use ONE speculative group DMA per program for the
-    comp image (and one for the covariance grid): the XG tile windows are
-    x-adjacent and flow is smooth, so they almost always fit one
+    comp image (and one for the covariance grid): the (YG, XG) tile windows
+    are adjacent and flow is smooth, so they almost always fit one
     (GROWS, GCOLS) block; a per-tile-DMA fallback keeps exactness for
-    wild flow. Realigned windows land in the U / covariance slabs and ALL
-    remaining math (guide-grid bilinear covariance interpolation, 2x2
-    inversion, 3x3 kernel-regression taps) runs on (B, XG*B) slabs.
+    wild flow. Realigned windows land in the U / covariance slabs (row-block
+    rb at sublanes [rb*SEGP, ...)) and ALL remaining math (guide-grid
+    bilinear covariance interpolation, 2x2 inversion, 3x3 kernel-regression
+    taps) runs on (B, XG*B) slabs per row-block.
     """
     refs = list(refs)
     if pv:
@@ -621,11 +680,14 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     sg = s * g
     SEG = B + 2 * s
     CSEG = B + 2 * sg
+    SEGP = SEG if SEGP is None else SEGP
+    CSEGP = CSEG if CSEGP is None else CSEGP
     GR_C, GCOLS = gwin_c.shape[1], gwin_c.shape[2]
     GR_K, GCOLS_K = gwin_k.shape[2], gwin_k.shape[3]
     gwin_k2 = gwin_k
     ROWS_C = comp_win.shape[1]
     ROWS_K = cov_win.shape[2]
+    NT = pl.num_programs(1) * XG       # SMEM row pitch (tiles per grid row)
 
     # ---- per-tile scalars. With pv the slab phase reads precomputed lane
     # planes / group bases instead, so P is materialized LAZILY (scalar SMEM
@@ -634,10 +696,10 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     names = ["Syp", "Sxp", "phy", "phx", "S2yp", "S2xp", "ph2y", "ph2x",
              "Sy1", "Sx1", "S2y1", "S2x1", "okl"]
 
-    def read_P():
+    def read_P(rb=0):
         P = {n: [] for n in names}
         for t in range(XG):
-            p0 = (jg_ * XG + t) * 14
+            p0 = (rb * NT + jg_ * XG + t) * 14
             for k, n in enumerate(names):
                 P[n].append(params_ref[0, 0, p0 + k])
         return P
@@ -752,66 +814,84 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     @pl.when(fit_c)
     def _():
         ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 0)
-        if pv:
-            csrc = cv_ref[0, 0:1, :XG * SEG]
-        else:
-            lC = jax.lax.broadcasted_iota(jnp.int32, (1, XG * SEG), 1) // SEG
-            dxv = lanevec([P["Sxp"][t] - gbx for t in range(XG)], lC)
-            phv = lanevec(P["phx"], lC)
-            cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
-            csrc = dxv + ((cj % SEG) + phv) // s
-        Call = (ci == csrc).astype(jnp.float32)
-        X = _dot_sel(gwin_c[:], Call)                   # (GR_C, XG*SEG)
-        if xup_c is not None and SEG + 8 <= xup_c.shape[0]:
-            # row realignment via ONE static s-fold sublane repeat + a
-            # dynamic sublane slice per tile: Xup[k] = X[k // s], so
-            # Xup[s*(Syp-gby) + phy + i] == X[(Syp-gby) + (i+phy)//s]
-            # — exact, no per-tile MXU work (lane dim stays static)
-            xup_c[:s * GR_C] = jnp.repeat(X, s, axis=0) if s > 1 else X
-            for t in range(XG):
-                off = offs_ref[0, 0, (jg_ * XG + t) * 2] if pv else \
-                    (P["Syp"][t] - gby) * s + P["phy"][t]
-                u_slab[:, t * SEG:(t + 1) * SEG] = \
-                    _dyn_rows(xup_c, off, SEG, t * SEG, SEG)
-        else:
-            Pl = read_P() if pv else P
-            ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
-            xh, xm, xl = _f32_parts(X)          # split hoisted out of the loop
-            for t in range(XG):
-                Rsel = (rj == (Pl["Syp"][t] - gby) +
-                        (ri + Pl["phy"][t]) // s).astype(jnp.float32)
-                sl = slice(t * SEG, (t + 1) * SEG)
-                d = lambda p: jnp.dot(Rsel, p[:, sl],
-                                      preferred_element_type=jnp.float32)
-                u_slab[:, sl] = (d(xh) + d(xm)) + d(xl)
+        gh_, gm_, gl_ = _f32_parts(gwin_c[:])   # bf16 split hoisted over rb
+        ri = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (SEG, GR_C), 1)
+        for rb in range(YG):
+            if pv:
+                csrc = cv_ref[0, rb * 8:rb * 8 + 1, :XG * SEG]
+            else:
+                lC = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, XG * SEG), 1) // SEG
+                dxv = lanevec([P["Sxp"][t] - gbx for t in range(XG)], lC)
+                phv = lanevec(P["phx"], lC)
+                cj = jax.lax.broadcasted_iota(jnp.int32, (GCOLS, XG * SEG), 1)
+                csrc = dxv + ((cj % SEG) + phv) // s
+            Call = (ci == csrc).astype(jnp.float32)
+            d0 = lambda p: jnp.dot(p, Call,
+                                   preferred_element_type=jnp.float32)
+            X = (d0(gh_) + d0(gm_)) + d0(gl_)           # (GR_C, XG*SEG)
+
+            def off_of(t):
+                # per-tile row offset (Syp - gby)*s + phy from the offs
+                # plane; rem/ph recovered by constant div (phy in [0, s))
+                if pv:
+                    off = offs_ref[0, 0, (rb * NT + jg_ * XG + t) * 2]
+                    rem = off // s
+                    return off, rem, off - rem * s
+                return ((P["Syp"][t] - gby) * s + P["phy"][t],
+                        P["Syp"][t] - gby, P["phy"][t])
+
+            if xup_c is not None and SEG + 8 <= xup_c.shape[0]:
+                # row realignment via ONE static s-fold sublane repeat + a
+                # dynamic sublane slice per tile: Xup[k] = X[k // s], so
+                # Xup[s*(Syp-gby) + phy + i] == X[(Syp-gby) + (i+phy)//s]
+                # — exact, no per-tile MXU work (lane dim stays static)
+                xup_c[:s * GR_C] = jnp.repeat(X, s, axis=0) if s > 1 else X
+                for t in range(XG):
+                    off, _, _ = off_of(t)
+                    u_slab[rb * SEGP:rb * SEGP + SEG,
+                           t * SEG:(t + 1) * SEG] = \
+                        _dyn_rows(xup_c, off, SEG, t * SEG, SEG)
+            else:
+                xh, xm, xl = _f32_parts(X)      # split hoisted out of the loop
+                for t in range(XG):
+                    _, rem, ph = off_of(t)
+                    Rsel = (rj == rem + (ri + ph) // s).astype(jnp.float32)
+                    sl = slice(t * SEG, (t + 1) * SEG)
+                    d = lambda p: jnp.dot(Rsel, p[:, sl],
+                                          preferred_element_type=jnp.float32)
+                    u_slab[rb * SEGP:rb * SEGP + SEG, sl] = \
+                        (d(xh) + d(xm)) + d(xl)
 
     @pl.when(jnp.logical_not(fit_c))
     def _():
-        Pl = read_P() if pv else P
-        rys = [(Pl["Syp"][t] // 8) * 8 for t in range(XG)]
-        rxs = [(Pl["Sxp"][t] // 128) * 128 for t in range(XG)]
+        for rb in range(YG):
+            Pl = read_P(rb) if pv else P
+            rys = [(Pl["Syp"][t] // 8) * 8 for t in range(XG)]
+            rxs = [(Pl["Sxp"][t] // 128) * 128 for t in range(XG)]
 
-        def start(t):
-            pltpu.make_async_copy(
-                comp_ref.at[n_, pl.ds(rys[t], ROWS_C),
-                            pl.ds(rxs[t], _DMA_COLS)],
-                comp_win.at[t % 2], sem_c.at[t % 2]).start()
+            def start(t):
+                pltpu.make_async_copy(
+                    comp_ref.at[n_, pl.ds(rys[t], ROWS_C),
+                                pl.ds(rxs[t], _DMA_COLS)],
+                    comp_win.at[t % 2], sem_c.at[t % 2]).start()
 
-        start(0)
-        for t in range(XG):
-            if t + 1 < XG:
-                start(t + 1)
-            pltpu.make_async_copy(
-                comp_ref.at[n_, pl.ds(rys[t], ROWS_C),
-                            pl.ds(rxs[t], _DMA_COLS)],
-                comp_win.at[t % 2], sem_c.at[t % 2]).wait()
-            Rsel = _selection_rows(SEG, ROWS_C, Pl["Syp"][t] - rys[t],
-                                   Pl["phy"][t], s)
-            Csel = _selection_rows(SEG, _DMA_COLS, Pl["Sxp"][t] - rxs[t],
-                                   Pl["phx"][t], s).T
-            u_slab[:, t * SEG:(t + 1) * SEG] = _sel_dot(
-                Rsel, _dot_sel(comp_win[t % 2], Csel))
+            start(0)
+            for t in range(XG):
+                if t + 1 < XG:
+                    start(t + 1)
+                pltpu.make_async_copy(
+                    comp_ref.at[n_, pl.ds(rys[t], ROWS_C),
+                                pl.ds(rxs[t], _DMA_COLS)],
+                    comp_win.at[t % 2], sem_c.at[t % 2]).wait()
+                Rsel = _selection_rows(SEG, ROWS_C, Pl["Syp"][t] - rys[t],
+                                       Pl["phy"][t], s)
+                Csel = _selection_rows(SEG, _DMA_COLS, Pl["Sxp"][t] - rxs[t],
+                                       Pl["phx"][t], s).T
+                u_slab[rb * SEGP:rb * SEGP + SEG,
+                       t * SEG:(t + 1) * SEG] = _sel_dot(
+                    Rsel, _dot_sel(comp_win[t % 2], Csel))
 
     # ---- covariance realignment/upsampling into the cc slab
     if not iso:
@@ -826,95 +906,121 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
                 # DIAGNOSTIC: skip the whole cov realign (wrong values,
                 # right DMA/taps) — isolates column+row realign cost
                 for ch in range(3):
-                    cc_slab[ch] = jnp.broadcast_to(
-                        gwin_k[ch, :CSEG, :1], (CSEG, XG * CSEG)) + 1.0
+                    for rb in range(YG):
+                        cc_slab[ch, rb * CSEGP:rb * CSEGP + CSEG, :] = \
+                            jnp.broadcast_to(gwin_k[ch, :CSEG, :1],
+                                             (CSEG, XG * CSEG)) + 1.0
                 return
             ci = jax.lax.broadcasted_iota(jnp.int32, (GCOLS_K, XG * CSEG), 0)
-            if pv:
-                ck = cv_ref[0, 1:2, :XG * CSEG]
-            else:
-                lK = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, XG * CSEG), 1) // CSEG
-                dxv = lanevec([P["S2xp"][t] - gbxk for t in range(XG)], lK)
-                phv = lanevec(P["ph2x"], lK)
-                cj = jax.lax.broadcasted_iota(
-                    jnp.int32, (GCOLS_K, XG * CSEG), 1)
-                ck = dxv + ((cj % CSEG) + phv) // sg
-            Ck = (ci == ck).astype(jnp.float32)
-            Yk = _dot_sel(gwin_k[:].reshape(3 * GR_K, GCOLS_K), Ck)
-            if _DIAG == "covnorow":
-                # DIAGNOSTIC: column realign only (wrong rows) — isolates
-                # the per-tile ROW realign cost
-                for ch in range(3):
-                    cc_slab[ch] = Yk[ch * GR_K:ch * GR_K + CSEG, :]
-            elif xup_k is not None and CSEG + 8 <= xup_k.shape[0]:
-                # same repeat+dynamic-sublane-slice rewrite as the comp
-                # path, per covariance channel (bounds the scratch size)
-                for ch in range(3):
-                    xup_k[:sg * GR_K] = jnp.repeat(
-                        Yk[ch * GR_K:(ch + 1) * GR_K], sg, axis=0)
-                    for t in range(XG):
-                        off = offs_ref[0, 0, (jg_ * XG + t) * 2 + 1] if pv \
-                            else (P["S2yp"][t] - gbyk) * sg + P["ph2y"][t]
-                        cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = \
-                            _dyn_rows(xup_k, off, CSEG, t * CSEG, CSEG)
-            else:
-                # per-tile row realign of all 3 channels in ONE selection
-                # matmul: block-diagonal R3 = kron(I3, R2_t) applied to the
-                # channel-stacked column slice (3 MXU ops per tile instead
-                # of 9; the f32 split of Yk is hoisted out of the loop)
-                Pl = read_P() if pv else P
-                ri3 = jax.lax.broadcasted_iota(
-                    jnp.int32, (3 * CSEG, 3 * GR_K), 0)
-                rj3 = jax.lax.broadcasted_iota(
-                    jnp.int32, (3 * CSEG, 3 * GR_K), 1)
-                samech = (ri3 // CSEG) == (rj3 // GR_K)
-                i3 = ri3 % CSEG
-                j3 = rj3 % GR_K
-                yh, ym, yl = _f32_parts(Yk)
-                for t in range(XG):
-                    R3 = (samech &
-                          (j3 == (Pl["S2yp"][t] - gbyk) +
-                           (i3 + Pl["ph2y"][t]) // sg)).astype(jnp.float32)
-                    sl = slice(t * CSEG, (t + 1) * CSEG)
-                    d = lambda p: jnp.dot(
-                        R3, p[:, sl], preferred_element_type=jnp.float32)
-                    out3 = (d(yh) + d(ym)) + d(yl)
+            kh_, km_, kl_ = _f32_parts(gwin_k[:].reshape(3 * GR_K, GCOLS_K))
+            ri3 = jax.lax.broadcasted_iota(
+                jnp.int32, (3 * CSEG, 3 * GR_K), 0)
+            rj3 = jax.lax.broadcasted_iota(
+                jnp.int32, (3 * CSEG, 3 * GR_K), 1)
+            samech = (ri3 // CSEG) == (rj3 // GR_K)
+            i3 = ri3 % CSEG
+            j3 = rj3 % GR_K
+            for rb in range(YG):
+                if pv:
+                    ck = cv_ref[0, rb * 8 + 1:rb * 8 + 2, :XG * CSEG]
+                else:
+                    lK = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, XG * CSEG), 1) // CSEG
+                    dxv = lanevec([P["S2xp"][t] - gbxk for t in range(XG)],
+                                  lK)
+                    phv = lanevec(P["ph2x"], lK)
+                    cj = jax.lax.broadcasted_iota(
+                        jnp.int32, (GCOLS_K, XG * CSEG), 1)
+                    ck = dxv + ((cj % CSEG) + phv) // sg
+                Ck = (ci == ck).astype(jnp.float32)
+                dk = lambda p: jnp.dot(p, Ck,
+                                       preferred_element_type=jnp.float32)
+                Yk = (dk(kh_) + dk(km_)) + dk(kl_)    # (3*GR_K, XG*CSEG)
+
+                def off2_of(t):
+                    if pv:
+                        off = offs_ref[0, 0,
+                                       (rb * NT + jg_ * XG + t) * 2 + 1]
+                        rem = off // sg
+                        return off, rem, off - rem * sg
+                    return ((P["S2yp"][t] - gbyk) * sg + P["ph2y"][t],
+                            P["S2yp"][t] - gbyk, P["ph2y"][t])
+
+                if _DIAG == "covnorow":
+                    # DIAGNOSTIC: column realign only (wrong rows) —
+                    # isolates the per-tile ROW realign cost
                     for ch in range(3):
-                        cc_slab[ch, :, sl] = \
-                            out3[ch * CSEG:(ch + 1) * CSEG]
+                        cc_slab[ch, rb * CSEGP:rb * CSEGP + CSEG, :] = \
+                            Yk[ch * GR_K:ch * GR_K + CSEG, :]
+                elif xup_k is not None and CSEG + 8 <= xup_k.shape[0]:
+                    # same repeat+dynamic-sublane-slice rewrite as the comp
+                    # path, per covariance channel (bounds the scratch size)
+                    for ch in range(3):
+                        xup_k[:sg * GR_K] = jnp.repeat(
+                            Yk[ch * GR_K:(ch + 1) * GR_K], sg, axis=0)
+                        for t in range(XG):
+                            off, _, _ = off2_of(t)
+                            cc_slab[ch, rb * CSEGP:rb * CSEGP + CSEG,
+                                    t * CSEG:(t + 1) * CSEG] = \
+                                _dyn_rows(xup_k, off, CSEG, t * CSEG, CSEG)
+                else:
+                    # per-tile row realign of all 3 channels in ONE
+                    # selection matmul: block-diagonal R3 = kron(I3, R2_t)
+                    # applied to the channel-stacked column slice (3 MXU ops
+                    # per tile instead of 9; the f32 split of Yk is hoisted
+                    # out of the loop)
+                    yh, ym, yl = _f32_parts(Yk)
+                    for t in range(XG):
+                        _, rem2, ph2 = off2_of(t)
+                        R3 = (samech &
+                              (j3 == rem2 +
+                               (i3 + ph2) // sg)).astype(jnp.float32)
+                        sl = slice(t * CSEG, (t + 1) * CSEG)
+                        d = lambda p: jnp.dot(
+                            R3, p[:, sl], preferred_element_type=jnp.float32)
+                        out3 = (d(yh) + d(ym)) + d(yl)
+                        for ch in range(3):
+                            cc_slab[ch, rb * CSEGP:rb * CSEGP + CSEG, sl] = \
+                                out3[ch * CSEG:(ch + 1) * CSEG]
 
         @pl.when(jnp.logical_not(fit_k))
         def _():
-            Pl = read_P() if pv else P
-            rys = [(Pl["S2yp"][t] // 8) * 8 for t in range(XG)]
-            rxs = [(Pl["S2xp"][t] // 128) * 128 for t in range(XG)]
+            for rb in range(YG):
+                Pl = read_P(rb) if pv else P
+                rys = [(Pl["S2yp"][t] // 8) * 8 for t in range(XG)]
+                rxs = [(Pl["S2xp"][t] // 128) * 128 for t in range(XG)]
 
-            def start(t):
-                pltpu.make_async_copy(
-                    cov_ref.at[n_, :, pl.ds(rys[t], ROWS_K),
-                               pl.ds(rxs[t], _DMA_COLS)],
-                    cov_win.at[t % 2], sem_k.at[t % 2]).start()
+                def start(t):
+                    pltpu.make_async_copy(
+                        cov_ref.at[n_, :, pl.ds(rys[t], ROWS_K),
+                                   pl.ds(rxs[t], _DMA_COLS)],
+                        cov_win.at[t % 2], sem_k.at[t % 2]).start()
 
-            start(0)
-            for t in range(XG):
-                if t + 1 < XG:
-                    start(t + 1)
-                pltpu.make_async_copy(
-                    cov_ref.at[n_, :, pl.ds(rys[t], ROWS_K),
-                               pl.ds(rxs[t], _DMA_COLS)],
-                    cov_win.at[t % 2], sem_k.at[t % 2]).wait()
-                R2 = _selection_rows(CSEG, ROWS_K, Pl["S2yp"][t] - rys[t],
-                                     Pl["ph2y"][t], sg)
-                C2 = _selection_rows(CSEG, _DMA_COLS, Pl["S2xp"][t] - rxs[t],
-                                     Pl["ph2x"][t], sg).T
-                Y2 = _dot_sel(cov_win[t % 2].reshape(3 * ROWS_K, _DMA_COLS),
-                              C2)
-                for ch in range(3):
-                    cc_slab[ch, :, t * CSEG:(t + 1) * CSEG] = _sel_dot(
-                        R2, Y2[ch * ROWS_K:(ch + 1) * ROWS_K])
+                start(0)
+                for t in range(XG):
+                    if t + 1 < XG:
+                        start(t + 1)
+                    pltpu.make_async_copy(
+                        cov_ref.at[n_, :, pl.ds(rys[t], ROWS_K),
+                                   pl.ds(rxs[t], _DMA_COLS)],
+                        cov_win.at[t % 2], sem_k.at[t % 2]).wait()
+                    R2 = _selection_rows(CSEG, ROWS_K,
+                                         Pl["S2yp"][t] - rys[t],
+                                         Pl["ph2y"][t], sg)
+                    C2 = _selection_rows(CSEG, _DMA_COLS,
+                                         Pl["S2xp"][t] - rxs[t],
+                                         Pl["ph2x"][t], sg).T
+                    Y2 = _dot_sel(
+                        cov_win[t % 2].reshape(3 * ROWS_K, _DMA_COLS), C2)
+                    for ch in range(3):
+                        cc_slab[ch, rb * CSEGP:rb * CSEGP + CSEG,
+                                t * CSEG:(t + 1) * CSEG] = _sel_dot(
+                            R2, Y2[ch * ROWS_K:(ch + 1) * ROWS_K])
 
-    # ---- shared slab phase: geometry, covariance interp/inversion, taps
+    # ---- shared slab phase: geometry, covariance interp/inversion, taps —
+    # per row-block on (B, XG*B) planes (lane params read from the rb-th
+    # sublane block of the iv/fv planes); one tall matmul upsamples the
+    # whole (YG*Ts, XG*Ts) robustness block at once.
     r_loc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, XG * B), 1)
     c_mod = lane % B
@@ -926,168 +1032,182 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
             out = out + vals[t] * (lb == t).astype(jnp.float32)
         return out
 
-    if pv:
-        # all per-tile lane quantities precomputed on the XLA side (the
-        # scalar-core SMEM load chains were the per-program bottleneck)
-        Sy1v = iv_ref[0, 0:1, :]
-        phyv = iv_ref[0, 1:2, :]
-        center_j = iv_ref[0, 2:3, :]
-        fyv = fv_ref[0, 0:1, :]
-    else:
-        Sy1v = lanevec(P["Sy1"], lb)
-        Sx1v = lanevec(P["Sx1"], lb)
-        phyv = lanevec(P["phy"], lb)
-        phxv = lanevec(P["phx"], lb)
-        okv = lanevec(P["okl"], lb)
-        fxv = lanef(fxl)
-        fyv = lanef(fyl)
-        center_j = Sx1v + (c_mod + phxv) // s           # (1, XG*B)
+    local_r_full = _sel_dot(rry[:], _dot_sel(r_ref[0], rrx[:]))
 
-    center_i = Sy1v + (r_loc + phyv) // s               # (B, XG*B)
-    # absolute HR row base from SMEM (params slot 13, == ty*B) — NOT
-    # program_id, so a row band can run at any global offset (sharded path)
-    Rrow = (params_ref[0, 0, (jg_ * XG) * 14 + 13] + r_loc).astype(jnp.float32)
-    lr_mov_y = (Rrow + half) / s + fyv
-    if pv:
-        lr_mov_x = fv_ref[0, 1:2, :]
-        inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
-                      (fv_ref[0, 3:4, :] > 0))
-    else:
-        Ccol = (jg_ * (XG * B) + lane).astype(jnp.float32)
-        lr_mov_x = (Ccol + half) / s + fxv
-        inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
-                      (lr_mov_x >= 0) & (lr_mov_x < W) & (okv > 0))
-
-    local_r = _sel_dot(rry[:], _dot_sel(r_ref[0], rrx[:]))
-    wr = jnp.where(inb_center, local_r, 0.0)
-    dist_ref_y = lr_mov_y - half
-    dist_ref_x = lr_mov_x - half
-
-    Uv = u_slab[:]
-    U_taps = {}
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            U_taps[(di, dj)] = jnp.concatenate(
-                [Uv[s * (di + 1):s * (di + 1) + B,
-                    t * SEG + s * (dj + 1):t * SEG + s * (dj + 1) + B]
-                 for t in range(XG)], axis=-1)
-
-    if not iso:
+    for rb in range(YG):
         if pv:
-            S2y1v = iv_ref[0, 3:4, :]
-            ph2yv = iv_ref[0, 4:5, :]
-            frac_x = fv_ref[0, 2:3, :]
+            # all per-tile lane quantities precomputed on the XLA side (the
+            # scalar-core SMEM load chains were the per-program bottleneck)
+            Sy1v = iv_ref[0, rb * 8 + 0:rb * 8 + 1, :]
+            phyv = iv_ref[0, rb * 8 + 1:rb * 8 + 2, :]
+            center_j = iv_ref[0, rb * 8 + 2:rb * 8 + 3, :]
+            fyv = fv_ref[0, rb * 8 + 0:rb * 8 + 1, :]
+            # absolute HR row base (iv slot 5, == ty*B) — NOT program_id,
+            # so a row band can run at any global offset (sharded path)
+            Rrow = (iv_ref[0, rb * 8 + 5:rb * 8 + 6, :] +
+                    r_loc).astype(jnp.float32)
         else:
-            S2y1v = lanevec(P["S2y1"], lb)
-            S2x1v = lanevec(P["S2x1"], lb)
-            ph2yv = lanevec(P["ph2y"], lb)
-            ph2xv = lanevec(P["ph2x"], lb)
-            kfloor_x = S2x1v + (c_mod + ph2xv) // sg
-            frac_x = lr_mov_x / g - half - kfloor_x.astype(jnp.float32)
-        kfloor_y = S2y1v + (r_loc + ph2yv) // sg
-        frac_y = lr_mov_y / g - half - kfloor_y.astype(jnp.float32)
+            Sy1v = lanevec(P["Sy1"], lb)
+            Sx1v = lanevec(P["Sx1"], lb)
+            phyv = lanevec(P["phy"], lb)
+            phxv = lanevec(P["phx"], lb)
+            okv = lanevec(P["okl"], lb)
+            fxv = lanef(fxl)
+            fyv = lanef(fyl)
+            center_j = Sx1v + (c_mod + phxv) // s       # (1, XG*B)
+            Rrow = (params_ref[0, 0, (jg_ * XG) * 14 + 13] +
+                    r_loc).astype(jnp.float32)
 
-        CCv = cc_slab[:]
+        center_i = Sy1v + (r_loc + phyv) // s           # (B, XG*B)
+        lr_mov_y = (Rrow + half) / s + fyv
+        if pv:
+            lr_mov_x = fv_ref[0, rb * 8 + 1:rb * 8 + 2, :]
+            inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                          (fv_ref[0, rb * 8 + 3:rb * 8 + 4, :] > 0))
+        else:
+            Ccol = (jg_ * (XG * B) + lane).astype(jnp.float32)
+            lr_mov_x = (Ccol + half) / s + fxv
+            inb_center = ((lr_mov_y >= 0) & (lr_mov_y < H) &
+                          (lr_mov_x >= 0) & (lr_mov_x < W) & (okv > 0))
 
-        def ctap(ch, dyy, dxx):
-            return jnp.concatenate(
-                [CCv[ch, sg * (dyy + 1):sg * (dyy + 1) + B,
-                     t * CSEG + sg * (dxx + 1):t * CSEG + sg * (dxx + 1) + B]
-                 for t in range(XG)], axis=-1)
+        wr = jnp.where(inb_center, local_r_full[rb * B:(rb + 1) * B], 0.0)
+        dist_ref_y = lr_mov_y - half
+        dist_ref_x = lr_mov_x - half
 
-        cc = []
-        for ch in range(3):
-            c00 = ctap(ch, 0, 0)
-            c01 = ctap(ch, 0, 1)
-            c10 = ctap(ch, 1, 0)
-            c11 = ctap(ch, 1, 1)
-            top = c00 + frac_x * (c01 - c00)
-            bot = c10 + frac_x * (c11 - c10)
-            cc.append(top + frac_y * (bot - top))
-        det = cc[0] * cc[2] - cc[1] * cc[1]
-        inv_det = 1.0 / det
-        ixx = inv_det * cc[2]
-        ixy = -inv_det * cc[1]
-        iyy = inv_det * cc[0]
+        Uv = u_slab[:]
+        U_taps = {}
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                r0 = rb * SEGP + s * (di + 1)
+                U_taps[(di, dj)] = jnp.concatenate(
+                    [Uv[r0:r0 + B,
+                        t * SEG + s * (dj + 1):t * SEG + s * (dj + 1) + B]
+                     for t in range(XG)], axis=-1)
 
-    # hoist everything that depends on only one loop index out of the 9-tap
-    # loop: the VPU is the contended unit here (measured), so the di x dj
-    # body should touch only the cross terms.
-    row_p = {}                           # per-di: bounds, parity, dy, dy^2
-    for di in (-1, 0, 1):
-        ig = center_i + di
-        dist_y = ig.astype(jnp.float32) - dist_ref_y
-        row_p[di] = ((ig >= 0) & (ig < H), ig % 2, dist_y, dist_y * dist_y)
-    col_p = {}                           # per-dj: bounds, parity, dx, dx^2
-    for dj in (-1, 0, 1):
-        jg2 = center_j + dj
-        dist_x = jg2.astype(jnp.float32) - dist_ref_x
-        col_p[dj] = ((jg2 >= 0) & (jg2 < W), jg2 % 2, dist_x,
-                     dist_x * dist_x)
-    if bayer:
-        # CFA channel = cfa[ig%2, jg2%2]: tap (di, dj) has parities
-        # (center_i + di) % 2 / (center_j + dj) % 2, so the 9 taps share
-        # 4 precomputed channel-mask-plane sets keyed by (di & 1, dj & 1)
-        def masks_for(pi, pj):
-            ch = jnp.where(pi == 0,
-                           jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
-                           jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
-            return [(ch == k).astype(jnp.float32) for k in range(n_ch)]
-
-        pc, qc = row_p[0][1], col_p[0][1]
-        ch_mask = {(p, q): masks_for((pc + p) % 2, (qc + q) % 2)
-                   for p in (0, 1) for q in (0, 1)}
-
-    vals = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
-    accs = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
-    taps = () if _DIAG == "notap" else (-1, 0, 1)
-    if _DIAG == "notap":
-        for k in range(n_ch):
-            vals[k] = wr * U_taps[(0, 0)]
-            accs[k] = wr + 0.0
-    for di in taps:
-        inb_i, _, dist_y, dy2 = row_p[di]
-        for dj in taps:
-            inb_j, _, dist_x, dx2 = col_p[dj]
-            inb = inb_i & inb_j
-            c = U_taps[(di, dj)]
-            if iso:
-                z = 2.0 * (dx2 + dy2)
+        if not iso:
+            if pv:
+                S2y1v = iv_ref[0, rb * 8 + 3:rb * 8 + 4, :]
+                ph2yv = iv_ref[0, rb * 8 + 4:rb * 8 + 5, :]
+                frac_x = fv_ref[0, rb * 8 + 2:rb * 8 + 3, :]
             else:
-                z = ixx * dx2 + 2.0 * ixy * dist_x * dist_y + iyy * dy2
-            z = jnp.maximum(z, 0.0)
-            if _DIAG == "noexp":
-                w = jnp.maximum(1.0 - z, 0.0) * wr * inb
-            else:
-                w = jnp.exp(-0.5 * z) * wr * inb
-            if bayer:
-                wc = w * c
-                for k, mask in enumerate(ch_mask[(di & 1, dj & 1)]):
-                    vals[k] = vals[k] + wc * mask
-                    accs[k] = accs[k] + w * mask
-            else:
-                vals[0] = vals[0] + w * c
-                accs[0] = accs[0] + w
+                S2y1v = lanevec(P["S2y1"], lb)
+                S2x1v = lanevec(P["S2x1"], lb)
+                ph2yv = lanevec(P["ph2y"], lb)
+                ph2xv = lanevec(P["ph2x"], lb)
+                kfloor_x = S2x1v + (c_mod + ph2xv) // sg
+                frac_x = lr_mov_x / g - half - kfloor_x.astype(jnp.float32)
+            kfloor_y = S2y1v + (r_loc + ph2yv) // sg
+            frac_y = lr_mov_y / g - half - kfloor_y.astype(jnp.float32)
 
-    if F == 1:
-        for k in range(n_ch):
-            if in_place:
-                val_ref[k] = num_ref[k] + vals[k]
-                acc_ref[k] = den_ref[k] + accs[k]
-            else:
-                val_ref[k] = vals[k]
-                acc_ref[k] = accs[k]
-    else:
-        # frames innermost + frame-independent output index map: the block
-        # is revisited in VMEM — initialize at n == 0, accumulate after
-        @pl.when(n_ == 0)
-        def _():
+            CCv = cc_slab[:]
+
+            def ctap(ch, dyy, dxx):
+                r0 = rb * CSEGP + sg * (dyy + 1)
+                return jnp.concatenate(
+                    [CCv[ch, r0:r0 + B,
+                         t * CSEG + sg * (dxx + 1):
+                         t * CSEG + sg * (dxx + 1) + B]
+                     for t in range(XG)], axis=-1)
+
+            cc = []
+            for ch in range(3):
+                c00 = ctap(ch, 0, 0)
+                c01 = ctap(ch, 0, 1)
+                c10 = ctap(ch, 1, 0)
+                c11 = ctap(ch, 1, 1)
+                top = c00 + frac_x * (c01 - c00)
+                bot = c10 + frac_x * (c11 - c10)
+                cc.append(top + frac_y * (bot - top))
+            det = cc[0] * cc[2] - cc[1] * cc[1]
+            inv_det = 1.0 / det
+            ixx = inv_det * cc[2]
+            ixy = -inv_det * cc[1]
+            iyy = inv_det * cc[0]
+
+        # hoist everything that depends on only one loop index out of the
+        # 9-tap loop: the VPU is the contended unit here (measured), so the
+        # di x dj body should touch only the cross terms.
+        row_p = {}                       # per-di: bounds, parity, dy, dy^2
+        for di in (-1, 0, 1):
+            ig = center_i + di
+            dist_y = ig.astype(jnp.float32) - dist_ref_y
+            row_p[di] = ((ig >= 0) & (ig < H), ig % 2, dist_y,
+                         dist_y * dist_y)
+        col_p = {}                       # per-dj: bounds, parity, dx, dx^2
+        for dj in (-1, 0, 1):
+            jg2 = center_j + dj
+            dist_x = jg2.astype(jnp.float32) - dist_ref_x
+            col_p[dj] = ((jg2 >= 0) & (jg2 < W), jg2 % 2, dist_x,
+                         dist_x * dist_x)
+        if bayer:
+            # CFA channel = cfa[ig%2, jg2%2]: tap (di, dj) has parities
+            # (center_i + di) % 2 / (center_j + dj) % 2, so the 9 taps share
+            # 4 precomputed channel-mask-plane sets keyed by (di & 1, dj & 1)
+            def masks_for(pi, pj):
+                ch = jnp.where(pi == 0,
+                               jnp.where(pj == 0, cfa[0, 0], cfa[0, 1]),
+                               jnp.where(pj == 0, cfa[1, 0], cfa[1, 1]))
+                return [(ch == k).astype(jnp.float32) for k in range(n_ch)]
+
+            pc, qc = row_p[0][1], col_p[0][1]
+            ch_mask = {(p, q): masks_for((pc + p) % 2, (qc + q) % 2)
+                       for p in (0, 1) for q in (0, 1)}
+
+        vals = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+        accs = [jnp.zeros((B, XG * B), jnp.float32) for _ in range(n_ch)]
+        taps = () if _DIAG == "notap" else (-1, 0, 1)
+        if _DIAG == "notap":
             for k in range(n_ch):
-                val_ref[k] = (num_ref[k] + vals[k]) if in_place else vals[k]
-                acc_ref[k] = (den_ref[k] + accs[k]) if in_place else accs[k]
+                vals[k] = wr * U_taps[(0, 0)]
+                accs[k] = wr + 0.0
+        for di in taps:
+            inb_i, _, dist_y, dy2 = row_p[di]
+            for dj in taps:
+                inb_j, _, dist_x, dx2 = col_p[dj]
+                inb = inb_i & inb_j
+                c = U_taps[(di, dj)]
+                if iso:
+                    z = 2.0 * (dx2 + dy2)
+                else:
+                    z = ixx * dx2 + 2.0 * ixy * dist_x * dist_y + iyy * dy2
+                z = jnp.maximum(z, 0.0)
+                if _DIAG == "noexp":
+                    w = jnp.maximum(1.0 - z, 0.0) * wr * inb
+                else:
+                    w = jnp.exp(-0.5 * z) * wr * inb
+                if bayer:
+                    wc = w * c
+                    for k, mask in enumerate(ch_mask[(di & 1, dj & 1)]):
+                        vals[k] = vals[k] + wc * mask
+                        accs[k] = accs[k] + w * mask
+                else:
+                    vals[0] = vals[0] + w * c
+                    accs[0] = accs[0] + w
 
-        @pl.when(n_ > 0)
-        def _():
+        out_rows = slice(rb * B, (rb + 1) * B)
+        if F == 1:
             for k in range(n_ch):
-                val_ref[k] = val_ref[k] + vals[k]
-                acc_ref[k] = acc_ref[k] + accs[k]
+                if in_place:
+                    val_ref[k, out_rows, :] = num_ref[k, out_rows, :] + vals[k]
+                    acc_ref[k, out_rows, :] = den_ref[k, out_rows, :] + accs[k]
+                else:
+                    val_ref[k, out_rows, :] = vals[k]
+                    acc_ref[k, out_rows, :] = accs[k]
+        else:
+            # frames innermost + frame-independent output index map: the
+            # block is revisited in VMEM — initialize at n == 0, accumulate
+            @pl.when(n_ == 0)
+            def _():
+                for k in range(n_ch):
+                    val_ref[k, out_rows, :] = \
+                        (num_ref[k, out_rows, :] + vals[k]) if in_place \
+                        else vals[k]
+                    acc_ref[k, out_rows, :] = \
+                        (den_ref[k, out_rows, :] + accs[k]) if in_place \
+                        else accs[k]
+
+            @pl.when(n_ > 0)
+            def _():
+                for k in range(n_ch):
+                    val_ref[k, out_rows, :] = val_ref[k, out_rows, :] + vals[k]
+                    acc_ref[k, out_rows, :] = acc_ref[k, out_rows, :] + accs[k]

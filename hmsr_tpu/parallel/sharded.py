@@ -171,7 +171,11 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         num, den = merge_ref(ref_img, ref_covs, num, den, cfa, config,
                              acc_rob=acc_r if robustness_denoise else None,
                              row_offset=row_offset)
-        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        # num/den bands are returned raw; normalization happens on the
+        # assembled accumulators OUTSIDE the shard_map (fn below) so the
+        # starved-pixel refill of normalize_accum sees full-image context —
+        # per-band normalization truncated the 5x5 refill neighborhoods at
+        # band edges (band-geometry-dependent output at refill pixels).
 
         # acc_r is identical on every space shard; a second psum over 'space'
         # (divided back) certifies it replicated for the P() output spec.
@@ -188,10 +192,10 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
             # super_resolution.py:152-153 / VERDICT round-1 missing #4).
             flows = jax.lax.psum(ys[0], "space") / n_space
             rmaps = jax.lax.psum(ys[1], "space") / n_space
-            return image, acc_out, flows, rmaps
-        return image, acc_out
+            return num, den, acc_out, flows, rmaps
+        return num, den, acc_out
 
-    out_specs = (P("space"), P())
+    out_specs = (P(None, "space"), P(None, "space"), P())
     if debug_mode:
         out_specs = out_specs + (P("frames"), P("frames"))
     # the Pallas interpret/lowering machinery does not propagate varying-
@@ -208,11 +212,14 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
 
     def fn(ref_img, comps, weights, std_curve, diff_curve):
         outs = sharded(ref_img, comps, weights, std_curve, diff_curve)
-        if use_pallas:
-            # bands cover the PADDED accumulator; crop to the true image
-            out_h = round(scale * ref_img.shape[0])
-            out_w = round(scale * ref_img.shape[1])
-            outs = (outs[0][:out_h, :out_w],) + outs[1:]
-        return outs
+        num, den = outs[0], outs[1]
+        # bands cover the PADDED accumulator on the pallas path; crop to the
+        # true image, then normalize with full-image refill context
+        out_h = round(scale * ref_img.shape[0])
+        out_w = round(scale * ref_img.shape[1])
+        num = num[:, :out_h, :out_w]
+        den = den[:, :out_h, :out_w]
+        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        return (image,) + outs[2:]
 
     return jax.jit(fn) if jit else fn

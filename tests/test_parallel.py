@@ -29,6 +29,12 @@ def small_config(scale=2):
     c.noise_model.alpha = ALPHA
     c.noise_model.beta = BETA
     c.accumulated_robustness_denoiser.enabled = False
+    # single-chip reference runs the scan pipeline: the sharded path
+    # normalizes the ASSEMBLED accumulators (full-image starved-pixel refill
+    # context, like scan), while CPU-auto picks the fused-slab path whose
+    # refill sees only a B-row slab — at starved pixels near slab edges the
+    # two (both valid) refills mix different neighborhoods (~2e-2).
+    c.tpu.pipeline = "scan"
     return c
 
 

@@ -57,22 +57,36 @@ def main():
         config.tpu.rob_trunc = int(os.environ["HMSR_ROB_TRUNC"])
     sanitize_config(config, (H, W))
 
-    rng = np.random.RandomState(0)
     # coherent burst (shifted copies of one scene + noise): independent
     # random frames give garbage flow, putting every group-DMA fast path
-    # permanently on its worst-case fallback — unrepresentative timings
-    base = rng.rand(H, W).astype(np.float32) * 0.8 + 0.1
-    try:
-        from scipy.ndimage import gaussian_filter
-        base = gaussian_filter(base, 2.0)
-    except ImportError:
-        pass
-    frames = np.empty((N, H, W), np.float32)
-    for n in range(N):
-        dy, dx = (0, 0) if n == 0 else rng.randint(-3, 4, 2)
-        sh = np.roll(base, (dy, dx), (0, 1))
-        frames[n] = np.clip(
-            sh + 0.02 * rng.randn(H, W).astype(np.float32), 0, 1)
+    # permanently on its worst-case fallback — unrepresentative timings.
+    # Disk-cached: sweep harnesses (tools/diag_merge_sweep.sh) run one
+    # process per variant and regeneration costs ~3 min at 12MP on this box.
+    cache = f"/tmp/hmsr_bisect_burst_{H}x{W}_n{N}.npy"
+    frames = None
+    if os.path.exists(cache):
+        try:
+            frames = np.load(cache)
+        except Exception:
+            frames = None
+    if frames is None:
+        rng = np.random.RandomState(0)
+        base = rng.rand(H, W).astype(np.float32) * 0.8 + 0.1
+        try:
+            from scipy.ndimage import gaussian_filter
+            base = gaussian_filter(base, 2.0)
+        except ImportError:
+            pass
+        frames = np.empty((N, H, W), np.float32)
+        for n in range(N):
+            dy, dx = (0, 0) if n == 0 else rng.randint(-3, 4, 2)
+            sh = np.roll(base, (dy, dx), (0, 1))
+            frames[n] = np.clip(
+                sh + 0.02 * rng.randn(H, W).astype(np.float32), 0, 1)
+        try:
+            np.save(cache, frames)
+        except Exception:
+            pass
     b = np.arange(1001) / 1000
     std = jnp.asarray(np.sqrt(ALPHA * b + BETA).astype(np.float32))
     diff = jnp.asarray((np.sqrt(2 / np.pi * 2 * (ALPHA * b + BETA) / 9)).astype(np.float32))
@@ -103,8 +117,16 @@ def measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
             if stage in ("rob", "kern", "merge", "mergeref", "all") else None
 
         out_h, out_w = 2 * H, 2 * W
-        num = jnp.zeros((3, out_h, out_w), DEFAULT_FLOAT)
-        den = jnp.zeros((3, out_h, out_w), DEFAULT_FLOAT)
+        # mirror run_pipeline: the Pallas merge accumulates IN PLACE only at
+        # its padded geometry — a raw (3, out_h, out_w) carry silently routes
+        # the legacy materialize+add path (~6 GB/frame extra HBM traffic),
+        # overstating the merge stage
+        accum_shape = (3, out_h, out_w)
+        if getattr(merge_fn, "__name__", "") == "merge_pallas":
+            from hmsr_tpu.ops.pallas_merge import padded_accum_shape
+            accum_shape = padded_accum_shape(config, (H, W), 3)
+        num = jnp.zeros(accum_shape, DEFAULT_FLOAT)
+        den = jnp.zeros(accum_shape, DEFAULT_FLOAT)
 
         def step(carry, frame):
             # every checksum accumulates ALL prior stages' sums so XLA cannot
@@ -134,6 +156,8 @@ def measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
 
         (num, den), ys = jax.lax.scan(step, (num, den), comps)
         if stage in ("merge", "all", "mergeref"):
+            num = num[:, :out_h, :out_w]
+            den = den[:, :out_h, :out_w]
             if stage != "merge":
                 ref_covs = estimate_kernels(ref_img, config)
                 num, den = merge_ref_fn(ref_img, ref_covs, num, den, CFA, config)

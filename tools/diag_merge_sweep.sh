@@ -15,7 +15,7 @@ LOG=tools/diag_merge_sweep.log
 for d in $VARIANTS; do
   [ "$d" = baseline ] && d=""
   echo "=== HMSR_MERGE_DIAG='$d' $SIZE N=$N ===" | tee -a "$LOG"
-  out=$(HMSR_MERGE_DIAG="$d" HMSR_DEBUG_TRUNC=1 timeout 580 \
+  out=$(HMSR_MERGE_DIAG="$d" HMSR_DEBUG_TRUNC=1 timeout "${HMSR_SWEEP_TIMEOUT:-1100}" \
         python tools/bisect_pipeline.py merge "$SIZE" "$N" 2>&1)
   rc=$?
   echo "$out" | grep -E "stage=|FAIL|Error" | tee -a "$LOG"
