@@ -161,6 +161,15 @@ def measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
             if stage != "merge":
                 ref_covs = estimate_kernels(ref_img, config)
                 num, den = merge_ref_fn(ref_img, ref_covs, num, den, CFA, config)
+            if stage == "all":
+                # the TRUE pipeline tail (run_pipeline): starved-pixel
+                # normalize + channel-last transpose (mergeref used to alias
+                # this, hiding the finalize cost)
+                from hmsr_tpu.ops.accumfix import normalize_accum
+                image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+                sub = image[::97, ::101]
+                return jnp.sum(jnp.where(jnp.isfinite(sub), sub, 0.0)) \
+                    + jnp.sum(ys)
             return jnp.sum((num / jnp.maximum(den, 1e-6))[:, ::97, ::101]) + jnp.sum(ys)
         return jnp.sum(ys)
 
