@@ -678,40 +678,33 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP):
                     eacc_ref[r0:r0 + 1, :L] = jnp.sum(D, 0, keepdims=True)
         seg_w = ts
     else:
-        # O(n_sh) MXU passes: e = sum(win^2) - 2 corr (argmin-equal to
-        # sum((ref - win)^2); the per-tile sum(ref^2) constant cancels).
-        # Per row-shift sy, ONE cross matmul G = ref^T @ win_rows gives all
-        # tiles' correlations for all sx as the diagonal band
-        # G[t*ts + x, t*SWIN + x + sx]; band extraction and the win^2
-        # window sums are cheap VPU mask reductions.
-        SQ = ub_ref[:] * ub_ref[:]                    # (YG*SWINP, XG*SWIN)
-        pi2 = jax.lax.broadcasted_iota(jnp.int32, (L, XG * SWIN), 0)
-        qi = jax.lax.broadcasted_iota(jnp.int32, (L, XG * SWIN), 1)
-        same_tile = (pi2 // ts) == (qi // SWIN)
-        doff = (qi % SWIN) - (pi2 % ts)               # == sx on the band
-        qmod = jax.lax.broadcasted_iota(
-            jnp.int32, (1, XG * SWIN), 1) % SWIN
-        for rb in range(YG):
-            rr = rb * ts
-            for sy in range(n_sh):
-                G = jax.lax.dot_general(              # (L, XG*SWIN)
-                    ref_ref[rr:rr + ts],
-                    ub_ref[rb * SWINP + sy:rb * SWINP + sy + ts],
-                    (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                colsum2 = jnp.sum(
-                    SQ[rb * SWINP + sy:rb * SWINP + sy + ts], 0,
-                    keepdims=True)
-                for sx in range(n_sh):
-                    band = (same_tile & (doff == sx)).astype(jnp.float32)
-                    drow = jnp.sum(G * band, axis=0, keepdims=True)
-                    valid = ((qmod >= sx) &
-                             (qmod < sx + ts)).astype(jnp.float32)
+        # Same shifted-slab structure as the L1 branch: per sx, ONE exact
+        # selection matmul realigns the window columns onto the ref tile
+        # layout at full height (all row blocks), then each (rb, sy)
+        # candidate needs just two (ts, L) column reductions:
+        # e = sum(win^2) - 2 sum(ref*win), the XLA twin's formulation
+        # (match_l2; the per-tile sum(ref^2) constant cancels in the
+        # argmin), combined per column before the segment sum exactly like
+        # the previous kernel. This replaced a G-matmul + per-(sy, sx)
+        # full-array band-mask reduction (~33M VPU element-ops/program at
+        # radius 4 — measured as the align stage's largest single cost in
+        # the round-4 attribution sweep) with ~4M.
+        bi = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, L), 0)
+        bj = jax.lax.broadcasted_iota(jnp.int32, (XG * SWIN, L), 1)
+        bsrc = (bj // ts) * SWIN + (bj % ts)
+        for sx in range(n_sh):
+            tap = (bi == bsrc + sx).astype(jnp.float32)
+            w = _dot_sel(ub_ref[:], tap)              # (YG*SWINP, L)
+            wsq = w * w
+            for rb in range(YG):
+                R = ref_ref[rb * ts:rb * ts + ts]
+                for sy in range(n_sh):
+                    sl = slice(rb * SWINP + sy, rb * SWINP + sy + ts)
+                    e1 = jnp.sum(wsq[sl], 0, keepdims=True)
+                    e2 = jnp.sum(R * w[sl], 0, keepdims=True)
                     r0 = rb * NCP + sy * n_sh + sx
-                    eacc_ref[r0:r0 + 1, :XG * SWIN] = \
-                        (colsum2 - 2.0 * drow) * valid
-        seg_w = SWIN
+                    eacc_ref[r0:r0 + 1, :L] = e1 - 2.0 * e2
+        seg_w = ts
 
     # vectorized per-tile segment sums + first-min argmin over candidates
     SL = XG * seg_w
