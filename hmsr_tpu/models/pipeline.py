@@ -239,6 +239,50 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     acc_r = jnp.zeros((h, w), DEFAULT_FLOAT) if accumulate_r else None
 
     debug = {}
+    if pipe_mode == "vmapped":
+        # EXPERIMENTAL (round-5 lever #1): batch the analysis phase
+        # (align / robustness / kernels — no cross-frame dependencies)
+        # across frames with vmap so every per-launch fixed cost is paid
+        # once for the whole burst (the Pallas batching rule folds the
+        # frame axis into the kernel grids), then scan ONLY the merge
+        # (num/den accumulation is the sole sequential dependency).
+        # Memory: the same per-frame flow/robustness/covariance stacks the
+        # fused/chunked modes already materialize.
+        def analyze_one(frame):
+            grey = to_grey(frame)
+            flow = to_raw_flow(align(align_state, grey, config), frame.shape)
+            r = compute_robustness(frame, ref_stats, flow, cfa_pattern,
+                                   white_balance, config)
+            covs = estimate_kernels(frame, config)
+            return flow, r, covs
+
+        flows, rmaps, covs_stack = jax.vmap(analyze_one)(comp_imgs)
+        if acc_r is not None:
+            acc_r = jnp.sum(rmaps, axis=0)
+
+        def merge_step(carry, xs):
+            num, den = carry
+            frame, flow, r, covs = xs
+            num, den = merge_fn(frame, flow, covs, r, num, den,
+                                cfa_pattern, config)
+            return (num, den), None
+
+        (num, den), _ = jax.lax.scan(
+            merge_step, (num, den), (comp_imgs, flows, rmaps, covs_stack))
+        num = num[:, :out_h, :out_w]
+        den = den[:, :out_h, :out_w]
+        ref_covs = estimate_kernels(ref_img, config)
+        merge_ref_fn = select_merge_ref(config)
+        num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern,
+                                config,
+                                acc_rob=acc_r if robustness_denoise else None)
+        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        if debug_mode:
+            debug["flow"] = flows
+            debug["robustness"] = rmaps
+        if acc_r is not None:
+            debug["accumulated_robustness"] = acc_r
+        return image, debug
     if fused or chunked:
         # Phase A (analysis): scan over frames producing per-frame flow,
         # robustness and covariances. Phase B (fused merge): every frame

@@ -80,3 +80,59 @@ def test_process_twice_matmul_grey_tiny():
     out1, _ = process_arrays(frames[0], frames[1:], config)
     out2, _ = process_arrays(frames[0], frames[1:], config)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_vmapped_pipeline_matches_scan_tiny():
+    """tpu.pipeline="vmapped" (frames-batched analysis, merge-only scan)
+    must match the production scan pipeline. Runs the production Pallas
+    merge in interpret mode so the padded-accumulator geometry is the
+    TPU one; analysis runs the XLA paths under jax.vmap."""
+    from tests.test_parallel import (DEFAULT_CFA, WB, curves,
+                                     make_synthetic_burst, small_config,
+                                     ALPHA, BETA)
+    from hmsr_tpu.models.pipeline import make_pipeline
+
+    ref, comps, _, _ = make_synthetic_burst(32, 32, n_frames=4, alpha=ALPHA,
+                                            beta=BETA, seed=29)
+    std, diff = curves()
+
+    outs = {}
+    for mode in ("scan", "vmapped"):
+        c = small_config()
+        c.tpu.pipeline = mode
+        c.tpu.merge_impl = "pallas"
+        c.tpu.pallas_interpret = True
+        pipe = make_pipeline(c, DEFAULT_CFA, WB)
+        img, dbg = pipe(jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        outs[mode] = (np.nan_to_num(np.asarray(img)),
+                      np.asarray(dbg["accumulated_robustness"]))
+    np.testing.assert_allclose(outs["vmapped"][0], outs["scan"][0],
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(outs["vmapped"][1], outs["scan"][1],
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_vmap_pallas_ica_batching_rule():
+    """jax.vmap over the Pallas ICA kernels (the vmapped pipeline folds the
+    frame axis into the kernel grid via the pallas_call batching rule) must
+    equal a per-frame Python loop. Interpret mode exercises the same
+    batched grid spec the TPU lowering sees."""
+    from hmsr_tpu.models.ica import init_ica
+    from hmsr_tpu.ops.pallas_ica import refine_ica_pallas, prep_ica_pallas
+    from tests.test_alignment import smooth_image, shifted
+
+    ts = 16
+    img = smooth_image(32, 48, seed=3).astype(np.float32)
+    movs = np.stack([shifted(img, 0.6 * k - 0.9, 0.4 * k).astype(np.float32)
+                     for k in range(3)])
+    state = init_ica(jnp.asarray(img), ts)
+    flow0 = jnp.zeros((2, 3, 2), jnp.float32)
+    prep = prep_ica_pallas(jnp.asarray(img), state, (2, 3, 2), ts)
+
+    def one(mov):
+        return refine_ica_pallas(jnp.asarray(img), state, mov, flow0, ts, 2,
+                                 interpret=True, prep=prep)
+
+    want = np.stack([np.asarray(one(jnp.asarray(m))) for m in movs])
+    got = np.asarray(jax.vmap(one)(jnp.asarray(movs)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
