@@ -218,7 +218,13 @@ def _pv_pack(Syc, Sxc, XG, hps, wps, VW, lane_div, ny, NTXP, lane_rows,
     # (nb, yg, 8, nj, CW) -> (nb, yg*8, nj*CW): block (1, yg*8, CW) at
     # (i, 0, j) holds row-block rb's planes at sublanes [rb*8, rb*8+8)
     iv = jnp.stack(rows, axis=2).reshape(nb, yg * 8, nj * CW)
-    specs = [
+    return [gvec, offs, iv], _pv_specs(nj, yg, NTXP, CW), CW
+
+
+def _pv_specs(nj, yg, NTXP, CW):
+    """BlockSpecs for the _pv_pack operands (shape-only twin, so the
+    frames-folded wrappers can build specs without materializing ops)."""
+    return [
         pl.BlockSpec((1, 1, nj * 4), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, yg * NTXP), lambda i, j: (i, 0, 0),
@@ -226,7 +232,11 @@ def _pv_pack(Syc, Sxc, XG, hps, wps, VW, lane_div, ny, NTXP, lane_rows,
         pl.BlockSpec((1, yg * 8, CW), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
     ]
-    return [gvec, offs, iv], specs, CW
+
+
+def _pv_cw(XG, VW):
+    """CW produced by :func:`_pv_csrc` (and thus :func:`_pv_pack`)."""
+    return -(-(XG * VW) // 128) * 128
 
 
 class _PvRealign(NamedTuple):
@@ -240,7 +250,7 @@ class _PvRealign(NamedTuple):
 
 def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
                     stride, Sys, Sxs, VW, XG, ROWS, hps, wps, x_ref=None,
-                    pv=None, read_sxy=None, YG=1, WINP=None):
+                    pv=None, read_sxy=None, YG=1, WINP=None, fidx=None):
     """Fill the (YG*WINP, XG*VW) slab ``u_dst`` with the per-tile windows
     of ``src`` at (Sys[t], Sxs[t]): group-DMA fast path with CROSS-PROGRAM
     double buffering + per-tile-DMA fallback. Row-block rb's tiles land at
@@ -263,6 +273,11 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
     GROWS, GCOLS = gwin2_ref.shape[1], gwin2_ref.shape[2]
     WINP = VW if WINP is None else WINP
     assert YG == 1 or pv is not None
+
+    def _src_at(rs, cs):
+        # frames-folded grids carry the moving image as (F, hp, wp) in HBM
+        # (ANY-space operands must stay full-array); fidx selects the frame
+        return src.at[rs, cs] if fidx is None else src.at[fidx, rs, cs]
 
     if pv is not None:
         NT = pv.NT or XG * nj
@@ -290,7 +305,7 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
     def issue(jg2, sl):
         b = group_base(jg2)
         pltpu.make_async_copy(
-            src.at[pl.ds(b[0], GROWS), pl.ds(b[1], GCOLS)],
+            _src_at(pl.ds(b[0], GROWS), pl.ds(b[1], GCOLS)),
             gwin2_ref.at[sl], gsem2.at[sl]).start()
 
     if pv is not None:
@@ -308,7 +323,7 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
         issue(jg, slot)
 
     pltpu.make_async_copy(
-        src.at[pl.ds(gby, GROWS), pl.ds(gbx, GCOLS)],
+        _src_at(pl.ds(gby, GROWS), pl.ds(gbx, GCOLS)),
         gwin2_ref.at[slot], gsem2.at[slot]).wait()
 
     @pl.when(jg + 1 < nj)
@@ -372,11 +387,11 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
                 rys.append((Sysl[t] // 8) * 8)
                 rxs.append((Sxsl[t] // 128) * 128)
                 pltpu.make_async_copy(
-                    src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    _src_at(pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)),
                     win_ref.at[t], sem.at[t]).start()
             for t in range(XG):
                 pltpu.make_async_copy(
-                    src.at[pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)],
+                    _src_at(pl.ds(rys[t], ROWS), pl.ds(rxs[t], _DMA_COLS)),
                     win_ref.at[t], sem.at[t]).wait()
                 Rsel = (jj == (Sysl[t] - rys[t]) + ii).astype(jnp.float32)
                 Csel = (ii2 == (Sxsl[t] - rxs[t]) + jj2).astype(jnp.float32)
@@ -398,7 +413,8 @@ def _lane_broadcast(vals, lane_div, L, dtype=jnp.float32):
 # GN step kernel: realign + bilinear taps + per-tile (b0, b1) reductions.
 # ---------------------------------------------------------------------------
 
-def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP):
+def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP,
+                     F=1, NYB=0):
     if pv:
         (pi_ref, gvec_ref, offs_ref, iv_ref,
          mov_ref, ref_ref, gx_ref, gy_ref,
@@ -407,6 +423,10 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP):
         (pi_ref, pf_ref, mov_ref, ref_ref, gx_ref, gy_ref,
          out_ref, win_ref, gwin_ref, u_ref, sem, sem_g, *refs) = args
     x_ref = refs[0] if refs else None
+    # frames-folded grid: program row i covers frame i // NYB, tile-row
+    # block i % NYB (all per-(frame, row) parameters arrive via the blocked
+    # SMEM/VMEM specs; only the manual HBM DMA needs the frame index)
+    fidx = pl.program_id(0) // NYB if F > 1 else None
     jg_ = pl.program_id(1)
     nj = pl.num_programs(1)
     NT = XG * nj
@@ -424,7 +444,7 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP):
                         pi_ref, 4, None, None, WIN, XG, ROWS, hp, wp,
                         x_ref=x_ref,
                         pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0, NT),
-                        read_sxy=read_sxy, YG=YG, WINP=WINP)
+                        read_sxy=read_sxy, YG=YG, WINP=WINP, fidx=fidx)
     else:
         Sys, Sxs, oks, fxs, fys = [], [], [], [], []
         for t in range(XG):
@@ -437,7 +457,7 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP):
 
         _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
                         pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp,
-                        x_ref=x_ref)
+                        x_ref=x_ref, fidx=fidx)
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap).
@@ -513,9 +533,94 @@ def _pad_rows_edge(a, nyP):
 def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
     """One Gauss-Newton right-hand side: returns (b0, b1) each (ny, NTXP).
 
-    ``flow`` must already be padded to (ny, NTXP, 2)."""
-    ny, NTXP, _ = flow.shape
-    ts = int(tile_size)
+    ``flow`` must already be padded to (ny, NTXP, 2). ``jax.vmap`` over
+    (mov_pad, flow) folds the frames axis into the kernel grid (ONE launch
+    for the whole burst) via the custom-vmap rule below."""
+    fn = _ica_step_cv(int(tile_size), bool(interpret))
+    return fn(prep.ref_c, prep.gx, prep.gy, mov_pad, flow)
+
+
+@functools.lru_cache(maxsize=None)
+def _ica_step_cv(ts, interpret):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(ref_c, gx, gy, mov_pad, flow):
+        return _ica_step_run(ref_c, gx, gy, mov_pad, flow, ts=ts,
+                             interpret=interpret)
+
+    @fn.def_vmap
+    def rule(axis_size, in_batched, ref_c, gx, gy, mov_pad, flow):
+        if tuple(in_batched) == (False, False, False, True, True):
+            out = _ica_step_run(ref_c, gx, gy, mov_pad, flow, ts=ts,
+                                interpret=interpret)
+        else:   # unexpected batching pattern: sequential per-frame fallback
+            out = _seq_map(fn, in_batched, (ref_c, gx, gy, mov_pad, flow))
+        return out, (True, True)
+
+    return fn
+
+
+def _seq_map(fn, in_batched, args):
+    """Generic ``lax.map`` fallback for a custom-vmap rule: map over the
+    batched args, close over the rest."""
+    idx = [i for i, b in enumerate(in_batched)
+           if any(jax.tree_util.tree_leaves(b))]
+
+    def one(bargs):
+        full = list(args)
+        for k, i2 in enumerate(idx):
+            full[i2] = bargs[k]
+        return fn(*full)
+
+    return jax.lax.map(one, tuple(args[i] for i in idx))
+
+
+def _ica_params(flow2, *, ts, XG, YG, nyP, nyB, NTXP, hp, wp, ROWS,
+                GROWS, GCOLS, WIN, PAD):
+    """Per-frame SMEM/VMEM parameter operands of the GN-step kernel
+    (pure function of one frame's flow, vmappable over frames)."""
+    ny = flow2.shape[0]
+    ax = flow2[..., 0]
+    ay = flow2[..., 1]
+    ix = jnp.trunc(ax)
+    iy = jnp.trunc(ay)
+    ty = jnp.arange(ny, dtype=jnp.int32)[:, None]
+    tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :]
+    Sy = ty * ts + iy.astype(jnp.int32) + PAD
+    Sx = tx * ts + ix.astype(jnp.int32) + PAD
+    Syc = _pad_rows_edge(jnp.clip(Sy, 0, hp - ROWS), nyP)
+    Sxc = _pad_rows_edge(jnp.clip(Sx, 0, wp - _DMA_COLS), nyP)
+    ok = _pad_rows_edge(((jnp.clip(Sy, 0, hp - ROWS) == Sy) &
+                         (jnp.clip(Sx, 0, wp - _DMA_COLS) == Sx)
+                         ).astype(jnp.int32), nyP)
+    pi = jnp.stack([Syc, Sxc, ok, jnp.zeros_like(ok)], axis=-1)
+    pi = pi.reshape(nyB, 1, YG * NTXP * 4)
+    if _PARAMVEC:
+        fx = _pad_rows_edge((ax - ix).astype(DEFAULT_FLOAT), nyP)
+        fy = _pad_rows_edge((ay - iy).astype(DEFAULT_FLOAT), nyP)
+        pvo, _, _ = _pv_pack(Syc, Sxc, XG, hp, wp, WIN, ts, nyP, NTXP,
+                             [jax.lax.bitcast_convert_type(fx, jnp.int32),
+                              jax.lax.bitcast_convert_type(fy, jnp.int32),
+                              ok],
+                             yg=YG, grows=GROWS, gcols=GCOLS)
+        return [pi] + pvo
+    pf = jnp.stack([ax - ix, ay - iy], axis=-1).astype(DEFAULT_FLOAT)
+    return [pi, pf.reshape(ny, 1, NTXP * 2)]
+
+
+def _fold_frames(params_fn, flow, batched):
+    """Evaluate the per-frame params and fold frames into the block axis."""
+    if not batched:
+        return params_fn(flow)
+    ops = jax.vmap(params_fn)(flow)
+    return [o.reshape((-1,) + o.shape[2:]) for o in ops]
+
+
+def _ica_step_run(ref_c, gx, gy, mov_pad, flow, *, ts, interpret):
+    batched = flow.ndim == 4
+    F = flow.shape[0] if batched else 1
+    ny, NTXP = flow.shape[-3], flow.shape[-2]
     XG = _xg(ts)
     YG = _yg(ts)
     nyP = -(-ny // YG) * YG
@@ -526,57 +631,42 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
     ROWS = _dma_rows(WIN)
     GROWS = _grows(YG, ts, WIN)
     GCOLS = _gcols_ica(XG, ts, WIN)
+    hp, wp = mov_pad.shape[-2:]
 
-    ax = flow[..., 0]
-    ay = flow[..., 1]
-    ix = jnp.trunc(ax)
-    iy = jnp.trunc(ay)
-    ty = jnp.arange(ny, dtype=jnp.int32)[:, None]
-    tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :]
-    Sy = ty * ts + iy.astype(jnp.int32) + PAD
-    Sx = tx * ts + ix.astype(jnp.int32) + PAD
-    hp, wp = mov_pad.shape
-    Syc = _pad_rows_edge(jnp.clip(Sy, 0, hp - ROWS), nyP)
-    Sxc = _pad_rows_edge(jnp.clip(Sx, 0, wp - _DMA_COLS), nyP)
-    ok = _pad_rows_edge(((jnp.clip(Sy, 0, hp - ROWS) == Sy) &
-                         (jnp.clip(Sx, 0, wp - _DMA_COLS) == Sx)
-                         ).astype(jnp.int32), nyP)
-    pi = jnp.stack([Syc, Sxc, ok, jnp.zeros_like(ok)], axis=-1)
-    pi = pi.reshape(nyB, 1, YG * NTXP * 4)
-
-    kernel = functools.partial(_ica_step_kernel, ts=ts, XG=XG, WIN=WIN,
-                               ROWS=ROWS, hp=hp, wp=wp, pv=_PARAMVEC,
-                               YG=YG, WINP=WINP)
+    head_ops = _fold_frames(
+        functools.partial(_ica_params, ts=ts, XG=XG, YG=YG, nyP=nyP,
+                          nyB=nyB, NTXP=NTXP, hp=hp, wp=wp, ROWS=ROWS,
+                          GROWS=GROWS, GCOLS=GCOLS, WIN=WIN, PAD=PAD),
+        flow, batched)
     if _PARAMVEC:
-        fx = _pad_rows_edge((ax - ix).astype(DEFAULT_FLOAT), nyP)
-        fy = _pad_rows_edge((ay - iy).astype(DEFAULT_FLOAT), nyP)
-        pvo, pvs, CW = _pv_pack(Syc, Sxc, XG, hp, wp, WIN, ts, nyP, NTXP,
-                                [jax.lax.bitcast_convert_type(fx, jnp.int32),
-                                 jax.lax.bitcast_convert_type(fy, jnp.int32),
-                                 ok],
-                                yg=YG, grows=GROWS, gcols=GCOLS)
-        head_ops = [pi] + pvo
         head_specs = [pl.BlockSpec((1, 1, YG * NTXP * 4),
                                    lambda i, j: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)] + pvs
+                                   memory_space=pltpu.SMEM)] \
+            + _pv_specs(NTXP // XG, YG, NTXP, _pv_cw(XG, WIN))
     else:
-        pf = jnp.stack([ax - ix, ay - iy], axis=-1).astype(DEFAULT_FLOAT)
-        head_ops = [pi, pf.reshape(ny, 1, NTXP * 2)]
         head_specs = [
             pl.BlockSpec((1, 1, NTXP * 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, NTXP * 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
+
+    kernel = functools.partial(_ica_step_kernel, ts=ts, XG=XG, WIN=WIN,
+                               ROWS=ROWS, hp=hp, wp=wp, pv=_PARAMVEC,
+                               YG=YG, WINP=WINP, F=F, NYB=nyB)
+    # the ref tiles/gradients are shared across frames: the folded grid
+    # re-visits block row (i % nyB) once per frame
+    ref_map = (lambda i, j: (i % nyB, j)) if batched \
+        else (lambda i, j: (i, j))
     grid_spec = pl.GridSpec(
-        grid=(nyB, NTXP // XG),
+        grid=(F * nyB, NTXP // XG),
         in_specs=head_specs + [
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), ref_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), ref_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), ref_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -595,14 +685,16 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nyB * 8, (NTXP // XG) * 128),
+        out_shape=(jax.ShapeDtypeStruct((F * nyB * 8, (NTXP // XG) * 128),
                                         jnp.float32),),
         interpret=interpret,
-    )(*head_ops, mov_pad, prep.ref_c, prep.gx, prep.gy)[0]
+    )(*head_ops, mov_pad, ref_c, gx, gy)[0]
 
-    out = out.reshape(nyB, 8, NTXP // XG, 128)
-    b0 = out[:, 0:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
-    b1 = out[:, 1:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
+    out = out.reshape(F, nyB, 8, NTXP // XG, 128)
+    b0 = out[:, :, 0:2 * YG:2, :, :XG].reshape(F, nyP, NTXP)[:, :ny]
+    b1 = out[:, :, 1:2 * YG:2, :, :XG].reshape(F, nyP, NTXP)[:, :ny]
+    if not batched:
+        return b0[0], b1[0]
     return b0, b1
 
 
@@ -610,7 +702,8 @@ def ica_step_pallas(prep, mov_pad, flow, tile_size, interpret=False):
 # Block-matching kernel: realign search slab + vectorized candidate argmin.
 # ---------------------------------------------------------------------------
 
-def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP):
+def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP,
+               F=1, NYB=0):
     if pv:
         (pi_ref, gvec_ref, offs_ref, iv_ref, mov_ref, ref_ref, out_ref,
          win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs) = args
@@ -618,6 +711,7 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP):
         (pi_ref, mov_ref, ref_ref, out_ref,
          win_ref, gwin_ref, ub_ref, eacc_ref, sem, sem_g, *refs) = args
     x_ref = refs[0] if refs else None
+    fidx = pl.program_id(0) // NYB if F > 1 else None   # frames-folded grid
     jg_ = pl.program_id(1)
     nj = pl.num_programs(1)
     NT = XG * nj
@@ -637,7 +731,7 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP):
                         pi_ref, 2, None, None, SWIN, XG, ROWS, hp, wp,
                         x_ref=x_ref,
                         pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0, NT),
-                        read_sxy=read_sxy, YG=YG, WINP=SWINP)
+                        read_sxy=read_sxy, YG=YG, WINP=SWINP, fidx=fidx)
     else:
         Wys, Wxs = [], []
         for t in range(XG):
@@ -647,7 +741,7 @@ def _bm_kernel(*args, ts, XG, SWIN, ROWS, hp, wp, metric, rbm, pv, YG, SWINP):
 
         _kernel_realign(mov_ref, gwin_ref, win_ref, ub_ref, sem, sem_g,
                         pi_ref, 2, Wys, Wxs, SWIN, XG, ROWS, hp, wp,
-                        x_ref=x_ref)
+                        x_ref=x_ref, fidx=fidx)
 
     # zero the candidate-padding rows once (they enter the Seg matmul)
     if NCP > NC:
@@ -731,23 +825,39 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
 
     ``mov_src = (padded_image, pad)`` must carry the metric's OOB semantics
     (zero pad for L1, edge pad for L2). ``flow`` already (ny, NTXP, 2).
-    """
+    ``jax.vmap`` over (mov, flow) folds the frames axis into the kernel grid
+    via the custom-vmap rule (one launch for the whole burst)."""
     mov_pad, pad = mov_src
-    ny, NTXP, _ = flow.shape
-    ts = int(tile_size)
-    XG = _xg(ts)
-    YG = _yg(ts)
-    nyP = -(-ny // YG) * YG
-    nyB = nyP // YG
-    rbm = int(radius)
-    SWIN = ts + 2 * rbm + 1
-    SWINP = -(-SWIN // 8) * 8 if YG > 1 else SWIN
-    ROWS = _dma_rows(SWIN)
-    GROWS = _grows(YG, ts, SWIN)
-    GCOLS = _gcols_ica(XG, ts, SWIN)
-    hp, wp = mov_pad.shape
+    fn = _bm_cv(int(tile_size), int(radius), str(metric), int(h), int(w),
+                int(pad), bool(interpret))
+    return fn(prep.ref_c, mov_pad, flow)
 
-    iflow = jnp.round(flow)
+
+@functools.lru_cache(maxsize=None)
+def _bm_cv(ts, rbm, metric, h, w, pad, interpret):
+    from jax import custom_batching
+    kw = dict(ts=ts, rbm=rbm, metric=metric, h=h, w=w, pad=pad,
+              interpret=interpret)
+
+    @custom_batching.custom_vmap
+    def fn(ref_c, mov_pad, flow):
+        return _bm_run(ref_c, mov_pad, flow, **kw)
+
+    @fn.def_vmap
+    def rule(axis_size, in_batched, ref_c, mov_pad, flow):
+        if tuple(in_batched) == (False, True, True):
+            out = _bm_run(ref_c, mov_pad, flow, **kw)
+        else:
+            out = _seq_map(fn, in_batched, (ref_c, mov_pad, flow))
+        return out, (True, True)
+
+    return fn
+
+
+def _bm_params(flow2, *, ts, rbm, h, w, pad, XG, YG, nyP, nyB, NTXP,
+               hp, wp, ROWS, GROWS, GCOLS, SWIN):
+    ny = flow2.shape[0]
+    iflow = jnp.round(flow2)
     ty = jnp.arange(ny, dtype=jnp.int32)[:, None]
     tx = jnp.arange(NTXP, dtype=jnp.int32)[None, :]
     Wy = ty * ts + iflow[..., 1].astype(jnp.int32) - rbm
@@ -764,27 +874,55 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
     Wyc = _pad_rows_edge(jnp.clip(Wyc, 0, hp - ROWS), nyP)
     Wxc = _pad_rows_edge(jnp.clip(Wxc, 0, wp - _DMA_COLS), nyP)
     pi = jnp.stack([Wyc, Wxc], axis=-1)
+    head_ops = [pi.reshape(nyB, 1, YG * NTXP * 2)]
+    if _PARAMVEC:
+        pvo, _, _ = _pv_pack(Wyc, Wxc, XG, hp, wp, SWIN, ts, nyP, NTXP,
+                             [], yg=YG, grows=GROWS, gcols=GCOLS)
+        head_ops += pvo
+    return head_ops
+
+
+def _bm_run(ref_c, mov_pad, flow, *, ts, rbm, metric, h, w, pad, interpret):
+    batched = flow.ndim == 4
+    F = flow.shape[0] if batched else 1
+    ny, NTXP = flow.shape[-3], flow.shape[-2]
+    XG = _xg(ts)
+    YG = _yg(ts)
+    nyP = -(-ny // YG) * YG
+    nyB = nyP // YG
+    SWIN = ts + 2 * rbm + 1
+    SWINP = -(-SWIN // 8) * 8 if YG > 1 else SWIN
+    ROWS = _dma_rows(SWIN)
+    GROWS = _grows(YG, ts, SWIN)
+    GCOLS = _gcols_ica(XG, ts, SWIN)
+    hp, wp = mov_pad.shape[-2:]
 
     NC = (2 * rbm + 1) ** 2
     NCP = -(-NC // 8) * 8
 
-    kernel = functools.partial(_bm_kernel, ts=ts, XG=XG, SWIN=SWIN,
-                               ROWS=ROWS, hp=hp, wp=wp, metric=metric,
-                               rbm=rbm, pv=_PARAMVEC, YG=YG, SWINP=SWINP)
-    head_ops = [pi.reshape(nyB, 1, YG * NTXP * 2)]
+    head_ops = _fold_frames(
+        functools.partial(_bm_params, ts=ts, rbm=rbm, h=h, w=w, pad=pad,
+                          XG=XG, YG=YG, nyP=nyP, nyB=nyB, NTXP=NTXP,
+                          hp=hp, wp=wp, ROWS=ROWS, GROWS=GROWS,
+                          GCOLS=GCOLS, SWIN=SWIN),
+        flow, batched)
     head_specs = [pl.BlockSpec((1, 1, YG * NTXP * 2),
                                lambda i, j: (i, 0, 0),
                                memory_space=pltpu.SMEM)]
     if _PARAMVEC:
-        pvo, pvs, _ = _pv_pack(Wyc, Wxc, XG, hp, wp, SWIN, ts, nyP, NTXP,
-                               [], yg=YG, grows=GROWS, gcols=GCOLS)
-        head_ops += pvo
-        head_specs += pvs
+        head_specs += _pv_specs(NTXP // XG, YG, NTXP, _pv_cw(XG, SWIN))
+
+    kernel = functools.partial(_bm_kernel, ts=ts, XG=XG, SWIN=SWIN,
+                               ROWS=ROWS, hp=hp, wp=wp, metric=metric,
+                               rbm=rbm, pv=_PARAMVEC, YG=YG, SWINP=SWINP,
+                               F=F, NYB=nyB)
+    ref_map = (lambda i, j: (i % nyB, j)) if batched \
+        else (lambda i, j: (i, j))
     grid_spec = pl.GridSpec(
-        grid=(nyB, NTXP // XG),
+        grid=(F * nyB, NTXP // XG),
         in_specs=head_specs + [
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((YG * ts, XG * ts), lambda i, j: (i, j),
+            pl.BlockSpec((YG * ts, XG * ts), ref_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -804,14 +942,16 @@ def bm_pallas(prep, mov_src, flow, tile_size, radius, metric, h, w,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nyB * 8, (NTXP // XG) * 128),
+        out_shape=(jax.ShapeDtypeStruct((F * nyB * 8, (NTXP // XG) * 128),
                                         jnp.float32),),
         interpret=interpret,
-    )(*head_ops, mov_pad, prep.ref_c)[0]
+    )(*head_ops, mov_pad, ref_c)[0]
 
-    out = out.reshape(nyB, 8, NTXP // XG, 128)
-    dx = out[:, 0:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
-    dy = out[:, 1:2 * YG:2, :, :XG].reshape(nyP, NTXP)[:ny]
+    out = out.reshape(F, nyB, 8, NTXP // XG, 128)
+    dx = out[:, :, 0:2 * YG:2, :, :XG].reshape(F, nyP, NTXP)[:, :ny]
+    dy = out[:, :, 1:2 * YG:2, :, :XG].reshape(F, nyP, NTXP)[:, :ny]
+    if not batched:
+        return dx[0], dy[0]
     return dx, dy
 
 

@@ -70,7 +70,36 @@ def match_l1_refine_ica_fused(ref_lvl, ica_state, moving, flow, tile_size,
 
 def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
                       interpret=False, prep=None, bm=False):
-    """Drop-in for ``refine_ica`` / ``refine_ica_tiled``."""
+    """Drop-in for ``refine_ica`` / ``refine_ica_tiled``.
+
+    Vmappable over (moving, flow): the custom-vmap rule falls back to a
+    sequential ``lax.map`` per frame (this kernel serves the launch-bound
+    coarse levels; a native frames-folded grid is the next step)."""
+    if prep is None:
+        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
+    fn = _fused_cv(int(tile_size), int(n_iter), bool(interpret), bool(bm))
+    return fn(prep, moving, flow)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_cv(ts, n_iter, interpret, bm):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(prep, moving, flow):
+        return _refine_fused_impl(prep, moving, flow, ts, n_iter,
+                                  interpret, bm)
+
+    @fn.def_vmap
+    def rule(axis_size, in_batched, prep, moving, flow):
+        from .pallas_ica import _seq_map
+        return _seq_map(fn, in_batched, (prep, moving, flow)), True
+
+    return fn
+
+
+def _refine_fused_impl(prep, moving, flow, tile_size, n_iter,
+                       interpret, bm):
     ny, nx, _ = flow.shape
     ts = int(tile_size)
     h, w = moving.shape
@@ -85,8 +114,6 @@ def refine_ica_pallas(ref_lvl, ica_state, moving, flow, tile_size, n_iter,
                       ((PAD, PAD + (-(h + 2 * PAD)) % ROWS + ROWS),
                        (PAD, PAD + (-(w + 2 * PAD)) % _DMA_COLS + _DMA_COLS)))
 
-    if prep is None:
-        prep = prep_ica_pallas(ref_lvl, ica_state, flow.shape, tile_size)
     ref_c, gx, gy = prep.ref_c, prep.gx, prep.gy
 
     fpad = ((0, 0), (0, NTXP - nx), (0, 0)) if NTXP != nx else None

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.types import DEFAULT_FLOAT
 from .pallas_merge import _dot_sel, _sel_dot, _dyn_rows, _PARAMVEC
-from .pallas_ica import _pv_group_bases, _pv_csrc, _pad_rows_edge
+from .pallas_ica import _pv_group_bases, _pv_csrc, _pad_rows_edge, _pv_cw
 
 _DMA_COLS = 256
 
@@ -47,38 +47,45 @@ def _dma_rows(win):
 
 def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
                         interpret=False):
-    """(c, lh, lw) guide stats -> ((c, H, W) warped stats, (H, W) valid)."""
-    c, lh, lw = stats.shape
-    H, W = out_shape
-    Ts = int(tile_size)
-    u = int(upscale)
-    WIN = Ts // u + 4
-    PAD = WIN + 1
-    SEG = Ts + 2 * u
+    """(c, lh, lw) guide stats -> ((c, H, W) warped stats, (H, W) valid).
 
-    nty = -(-H // Ts)
-    ntx = -(-W // Ts)
-    assert flow.shape[0] >= nty and flow.shape[1] >= ntx, (flow.shape, nty, ntx)
-    XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
-    NTXP = -(-ntx // XG) * XG
-    YG = max(1, min(_YG_MULT, 64 // Ts, 4)) if _PARAMVEC else 1
-    ntyP = -(-nty // YG) * YG
-    nyB = ntyP // YG
-    SEGP = -(-SEG // 8) * 8 if YG > 1 else SEG
+    Vmappable over (stats, flow): the custom-vmap rule falls back to a
+    sequential ``lax.map`` per frame (one launch per frame; a native
+    frames-folded grid is the next step)."""
+    fn = _warp_cv(int(upscale), int(tile_size),
+                  (int(out_shape[0]), int(out_shape[1])), bool(interpret))
+    return fn(stats, flow)
 
-    ROWS = _dma_rows(WIN)
-    # group window sized to the (YG, XG) block's source span + slack
-    GR = -(-(YG * (Ts // u) + WIN + 15) // 8) * 8 + 8
-    GCOLS = -(-(XG * (Ts // u) + WIN + 127) // 128) * 128
-    stats_pad = jnp.pad(stats, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
-    ph0, pw0 = stats_pad.shape[1:]
-    stats_pad = jnp.pad(stats_pad,
-                        ((0, 0), (0, (-ph0) % max(ROWS, GR) + max(ROWS, GR)),
-                         (0, (-pw0) % _DMA_COLS + _DMA_COLS)), mode="edge")
 
+@functools.lru_cache(maxsize=None)
+def _warp_cv(upscale, tile_size, out_shape, interpret):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(stats, flow):
+        return _warp_impl(stats, upscale, tile_size, flow, out_shape,
+                          interpret)
+
+    @fn.def_vmap
+    def rule(axis_size, in_batched, stats, flow):
+        if tuple(in_batched) == (True, True):
+            out = _warp_impl(stats, upscale, tile_size, flow, out_shape,
+                             interpret)
+        else:
+            from .pallas_ica import _seq_map
+            out = _seq_map(fn, in_batched, (stats, flow))
+        return out, (True, True)
+
+    return fn
+
+
+def _warp_params(flow2, *, Ts, u, WIN, PAD, SEG, lh, lw, nty, ntx, NTXP,
+                 YG, ntyP, nyB, XG, GR, GCOLS, hps, wps):
+    """Per-frame SMEM/VMEM parameter operands (pure function of one frame's
+    flow, vmappable over frames)."""
     # per-tile params: center(Y) = (Y + m)//u with m = floor(fy + 0.5)
-    fx = flow[:nty, :ntx, 0].astype(DEFAULT_FLOAT)
-    fy = flow[:nty, :ntx, 1].astype(DEFAULT_FLOAT)
+    fx = flow2[:nty, :ntx, 0].astype(DEFAULT_FLOAT)
+    fy = flow2[:nty, :ntx, 1].astype(DEFAULT_FLOAT)
     ty = jnp.arange(nty, dtype=jnp.int32)[:, None]
     tx = jnp.arange(ntx, dtype=jnp.int32)[None, :]
 
@@ -106,14 +113,7 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     params_flat = params.reshape(nyB, 1, YG * NTXP * 8)
     flow_f = jnp.stack([fx, fy], -1).reshape(nyB, 1, YG * NTXP * 2)
 
-    head_ops = [params_flat, flow_f, stats_pad]
-    head_specs = [
-        pl.BlockSpec((1, 1, YG * NTXP * 8), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, YG * NTXP * 2), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.HBM),         # stats_pad
-    ]
+    head_ops = [params_flat, flow_f]
     if _PARAMVEC:
         nj = NTXP // XG
         L = XG * Ts
@@ -121,8 +121,7 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
         phyA, phxA = params[:, :, 2], params[:, :, 3]
         Sy1A, Sx1A, okA = params[:, :, 4], params[:, :, 5], params[:, :, 6]
         gvec, gby, gbx = _pv_group_bases(
-            SyP, SxP, XG, stats_pad.shape[1], stats_pad.shape[2], WIN,
-            grows=GR, gcols=GCOLS, yg=YG)
+            SyP, SxP, XG, hps, wps, WIN, grows=GR, gcols=GCOLS, yg=YG)
         gby_t = jnp.repeat(jnp.repeat(gby, XG, 1).reshape(nyB, 1, NTXP),
                            YG, axis=1).reshape(ntyP, NTXP)
         offs = ((SyP - gby_t) * u + phyA).reshape(nyB, 1, YG * NTXP)
@@ -151,6 +150,66 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
         # live at sublanes [rb*8, rb*8+8)
         iv = jnp.stack(rows, axis=2).reshape(nyB, YG * 8, nj * CW)
         head_ops += [gvec, offs, iv]
+    return head_ops
+
+
+def _warp_impl(stats, upscale, tile_size, flow, out_shape, interpret):
+    batched = stats.ndim == 4
+    F = stats.shape[0] if batched else 1
+    c, lh, lw = stats.shape[-3:]
+    H, W = out_shape
+    Ts = int(tile_size)
+    u = int(upscale)
+    WIN = Ts // u + 4
+    PAD = WIN + 1
+    SEG = Ts + 2 * u
+
+    nty = -(-H // Ts)
+    ntx = -(-W // Ts)
+    assert flow.shape[-3] >= nty and flow.shape[-2] >= ntx, \
+        (flow.shape, nty, ntx)
+    XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
+    NTXP = -(-ntx // XG) * XG
+    YG = max(1, min(_YG_MULT, 64 // Ts, 4)) if _PARAMVEC else 1
+    ntyP = -(-nty // YG) * YG
+    nyB = ntyP // YG
+    SEGP = -(-SEG // 8) * 8 if YG > 1 else SEG
+
+    ROWS = _dma_rows(WIN)
+    # group window sized to the (YG, XG) block's source span + slack
+    GR = -(-(YG * (Ts // u) + WIN + 15) // 8) * 8 + 8
+    GCOLS = -(-(XG * (Ts // u) + WIN + 127) // 128) * 128
+    lead = ((0, 0),) if batched else ()
+    stats_pad = jnp.pad(stats, lead + ((0, 0), (PAD, PAD), (PAD, PAD)),
+                        mode="edge")
+    ph0, pw0 = stats_pad.shape[-2:]
+    stats_pad = jnp.pad(
+        stats_pad,
+        lead + ((0, 0), (0, (-ph0) % max(ROWS, GR) + max(ROWS, GR)),
+                (0, (-pw0) % _DMA_COLS + _DMA_COLS)), mode="edge")
+    hps, wps = stats_pad.shape[-2:]
+
+    params_fn = functools.partial(
+        _warp_params, Ts=Ts, u=u, WIN=WIN, PAD=PAD, SEG=SEG, lh=lh, lw=lw,
+        nty=nty, ntx=ntx, NTXP=NTXP, YG=YG, ntyP=ntyP, nyB=nyB, XG=XG,
+        GR=GR, GCOLS=GCOLS, hps=hps, wps=wps)
+    if batched:
+        ops = jax.vmap(params_fn)(flow)
+        head = [o.reshape((-1,) + o.shape[2:]) for o in ops]
+    else:
+        head = params_fn(flow)
+
+    head_ops = head[:2] + [stats_pad] + head[2:]
+    head_specs = [
+        pl.BlockSpec((1, 1, YG * NTXP * 8), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, YG * NTXP * 2), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),         # stats_pad
+    ]
+    if _PARAMVEC:
+        nj = NTXP // XG
+        CW = _pv_cw(XG, SEG)
         head_specs += [
             pl.BlockSpec((1, 1, nj * 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -163,11 +222,11 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     kernel = functools.partial(
         _warp_kernel, u=u, Ts=Ts, XG=XG, WIN=WIN, SEG=SEG, c=c,
         lh=lh, lw=lw, H=H, W=W,
-        hps=stats_pad.shape[1], wps=stats_pad.shape[2], pv=_PARAMVEC,
-        YG=YG, SEGP=SEGP)
+        hps=hps, wps=wps, pv=_PARAMVEC,
+        YG=YG, SEGP=SEGP, F=F, NYB=nyB)
 
     grid_spec = pl.GridSpec(
-        grid=(nyB, NTXP // XG),
+        grid=(F * nyB, NTXP // XG),
         in_specs=head_specs,
         out_specs=[
             pl.BlockSpec((c, YG * Ts, XG * Ts), lambda i, j: (0, i, j),
@@ -188,13 +247,19 @@ def upscale_warp_pallas(stats, upscale, tile_size, flow, out_shape,
     hr, valid = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((c, ntyP * Ts, NTXP * Ts),
+        out_shape=(jax.ShapeDtypeStruct((c, F * ntyP * Ts, NTXP * Ts),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((ntyP * Ts, NTXP * Ts), jnp.float32)),
+                   jax.ShapeDtypeStruct((F * ntyP * Ts, NTXP * Ts),
+                                        jnp.float32)),
         interpret=interpret,
     )(*head_ops)
 
-    return hr[:, :H, :W], valid[:H, :W] > 0.5
+    if not batched:
+        return hr[:, :H, :W], valid[:H, :W] > 0.5
+    hr = jnp.transpose(hr.reshape(c, F, ntyP * Ts, NTXP * Ts),
+                       (1, 0, 2, 3))[:, :, :H, :W]
+    valid = valid.reshape(F, ntyP * Ts, NTXP * Ts)[:, :H, :W] > 0.5
+    return hr, valid
 
 
 def _dogson(x):
@@ -205,7 +270,7 @@ def _dogson(x):
 
 
 def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv,
-                 YG, SEGP):
+                 YG, SEGP, F=1, NYB=0):
     """Group-window rewrite: one speculative DMA covers the (YG, XG) block
     of tile windows (per-tile fallback for wild flow); realignment is one
     column-selection matmul per row-block + a dynamic sublane slice (or a
@@ -223,7 +288,15 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv,
         gvec_ref = offs_ref = iv_ref = None
     xup_ref = refs[0] if refs else None
     i = pl.program_id(0)
+    # frames-folded grid: program row i covers frame i // NYB at tile-row
+    # block i % NYB; stats is then (F, c, hps, wps) in HBM
+    fidx = i // NYB if F > 1 else None
+    i = i % NYB if F > 1 else i
     jg_ = pl.program_id(1)
+
+    def _stats_at(rs, cs):
+        return stats_ref.at[:, rs, cs] if fidx is None \
+            else stats_ref.at[fidx, :, rs, cs]
     nj = pl.num_programs(1)
     NT = XG * nj
     half = jnp.float32(0.5)
@@ -255,7 +328,7 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv,
     def issue(jg, slot):
         b = group_base(jg)
         pltpu.make_async_copy(
-            stats_ref.at[:, pl.ds(b[0], GR), pl.ds(b[1], GCOLS)],
+            _stats_at(pl.ds(b[0], GR), pl.ds(b[1], GCOLS)),
             gwin2_ref.at[slot], gsem.at[slot]).start()
 
     def read_params(rb=0):
@@ -287,7 +360,7 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv,
         issue(jg_, slot)
 
     pltpu.make_async_copy(
-        stats_ref.at[:, pl.ds(gby, GR), pl.ds(gbx, GCOLS)],
+        _stats_at(pl.ds(gby, GR), pl.ds(gbx, GCOLS)),
         gwin2_ref.at[slot], gsem.at[slot]).wait()
 
     @pl.when(jg_ + 1 < nj)
@@ -358,15 +431,15 @@ def _warp_kernel(*args, u, Ts, XG, WIN, SEG, c, lh, lw, H, W, hps, wps, pv,
 
             def start(t):
                 pltpu.make_async_copy(
-                    stats_ref.at[:, pl.ds(rys[t], ROWS),
-                                 pl.ds(rxs[t], win_ref.shape[2])],
+                    _stats_at(pl.ds(rys[t], ROWS),
+                              pl.ds(rxs[t], win_ref.shape[2])),
                     win_ref, sem).start()
 
             for t in range(XG):
                 start(t)
                 pltpu.make_async_copy(
-                    stats_ref.at[:, pl.ds(rys[t], ROWS),
-                                 pl.ds(rxs[t], win_ref.shape[2])],
+                    _stats_at(pl.ds(rys[t], ROWS),
+                              pl.ds(rxs[t], win_ref.shape[2])),
                     win_ref, sem).wait()
                 ii = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 0)
                 jj = jax.lax.broadcasted_iota(jnp.int32, (SEG, ROWS), 1)

@@ -54,13 +54,21 @@ def main():
     diff = jnp.asarray(
         np.sqrt(2 / np.pi * 2 * (ALPHA * b + BETA) / 9).astype(np.float32))
 
-    pipe = make_pipeline(config, CFA, WB)
+    pipe = make_pipeline(config, CFA, WB, jit=False)
+
+    # in-graph scalar checksum (bench.py methodology): fetching the full
+    # 48MP output through the tunnel costs ~45 s and swamps the compute
+    def run_with_checksum(ref, comps, std_c, diff_c):
+        img, _ = pipe(ref, comps, std_c, diff_c)
+        sub = img[::31, ::37]
+        return jnp.sum(jnp.where(jnp.isfinite(sub), sub, 0.0))
+
+    fn = jax.jit(run_with_checksum)
     ref_d = jnp.asarray(ref)
     comps_d = jnp.asarray(comps)
 
     t0 = time.time()
-    img, _ = pipe(ref_d, comps_d, std, diff)
-    v = float(np.nansum(np.asarray(img)[::61, ::67]))
+    v = float(np.asarray(fn(ref_d, comps_d, std, diff)))
     print(f"mode={mode} {H}x{W} N={N}: compile+run {time.time()-t0:.1f}s "
           f"checksum={v:.4f}", flush=True)
 
@@ -69,9 +77,9 @@ def main():
         # perturb between runs: the backend memoizes identical
         # (executable, inputs) executions (CLAUDE.md)
         comps_d = comps_d + jnp.float32(1e-6 * (i + 1))
+        _ = float(np.asarray(jnp.sum(comps_d[0, ::512, ::512])))  # settle
         t0 = time.time()
-        img, _ = pipe(ref_d, comps_d, std, diff)
-        v = float(np.nansum(np.asarray(img)[::61, ::67]))
+        v = float(np.asarray(fn(ref_d, comps_d, std, diff)))
         times.append(time.time() - t0)
         print(f"mode={mode} run {i}: {times[-1]:.3f}s checksum={v:.4f}",
               flush=True)
