@@ -84,7 +84,7 @@ def make_burst(h, w, n_frames, alpha, beta, seed=0, brightness=None):
 
 
 def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
-               brightness=None, tag=""):
+               brightness=None, tag="", mutate=None):
     import jax
     import jax.numpy as jnp
     from hmsr_tpu.configs import default_config, update_snr_config, sanitize_config
@@ -109,8 +109,11 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
     mean_b = float(frames[0].mean())
     snr = mean_b / std_curve[int(round(1000 * mean_b))]
     update_snr_config(config, snr)
+    if mutate is not None:
+        mutate(config)                    # BASELINE.json variant overrides
     sanitize_config(config, frames[0].shape)
-    log(f"[{h}x{w}{tag}] SNR={snr:.1f} -> Ts={config.block_matching.tuning.tile_size}")
+    log(f"[{h}x{w}{tag}] SNR={snr:.1f} -> Ts={config.block_matching.tuning.tile_size}"
+        f" scale={config.scale} mode={config.mode}")
 
     pipe = make_pipeline(config, CFA, [1.0, 1.0, 1.0], jit=False)
 
@@ -207,7 +210,8 @@ def emit(state):
             "unit": "s",
             "vs_baseline": round(baseline / state["value"], 3),
         }
-        for key in ("dark_value", "dark64_value", "finishing_value"):
+        for key in ("dark_value", "dark64_value", "finishing_value",
+                    "x1_value", "x3_value", "grey_value"):
             if key in state:
                 out[key] = round(state[key], 4)
         if "finishing_value" in state:
@@ -234,7 +238,8 @@ def main():
     # result so far (the handler can't interrupt a blocked remote compile,
     # but it covers every point where Python bytecode runs).
     state = {"failed": [], "n_frames": N_FRAMES,
-             "pending": ["bright", "finishing", "dark", "dark64"]}
+             "pending": ["bright", "finishing", "dark", "dark64",
+                         "x1", "x3", "grey"]}
 
     def on_term(signum, frame):
         log("SIGTERM — emitting best-so-far result")
@@ -288,6 +293,35 @@ def main():
         try:
             state[key] = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
                                     brightness=brightness, tag=tag)
+        except Exception as e:
+            log(f"[{h}x{w}{tag}] FAILED: {type(e).__name__}: {e}")
+            state["failed"].append({"variant": tag.strip(),
+                                    "error": f"{type(e).__name__}: {e}"[:300]})
+        state["pending"].remove(tag.strip())
+        emit(state)
+
+    # remaining BASELINE.json configs at size (VERDICT r04 weak #4):
+    # x1 merge (robustness off), x3 scale + accumulated-robustness
+    # weighting, grey (non-Bayer) mode — ordered after the headline
+    # variants so a driver timeout costs only the tail.
+    def mut_x1(c):
+        c.scale = 1
+        c.robustness.enabled = False
+        c.robustness.save_mask = False
+
+    def mut_x3(c):
+        c.scale = 3
+        c.accumulated_robustness_denoiser.enabled = True
+
+    def mut_grey(c):
+        c.mode = "grey"
+
+    for key, mutate, tag in [("x1_value", mut_x1, " x1"),
+                             ("x3_value", mut_x3, " x3"),
+                             ("grey_value", mut_grey, " grey")]:
+        try:
+            state[key] = bench_size(h, w, N_FRAMES, std_curve, diff_curve,
+                                    tag=tag, mutate=mutate)
         except Exception as e:
             log(f"[{h}x{w}{tag}] FAILED: {type(e).__name__}: {e}")
             state["failed"].append({"variant": tag.strip(),

@@ -50,7 +50,7 @@ def test_bench_variant_failure_propagates(monkeypatch, capsys):
     import bench
 
     def fake_bench_size(h, w, n_frames, std, diff, n_runs=3,
-                        brightness=None, tag=""):
+                        brightness=None, tag="", mutate=None):
         if tag:
             raise RuntimeError("simulated dark-path crash")
         return 1.234
@@ -66,5 +66,5 @@ def test_bench_variant_failure_propagates(monkeypatch, capsys):
     out = json.loads(line)
     assert out["value"] == 1.234
     names = {f["variant"] for f in out["failed_variants"]}
-    assert names == {"dark", "dark64"}
+    assert names == {"dark", "dark64", "x1", "x3", "grey"}
     assert "simulated dark-path crash" in out["failed_variants"][0]["error"]
