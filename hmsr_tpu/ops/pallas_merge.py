@@ -654,6 +654,11 @@ def _merge_group_kernel(params_ref, flow_ref, comp_ref, cov_ref, r_ref,
     bilinear covariance interpolation, 2x2 inversion, 3x3 kernel-regression
     taps) runs on (B, XG*B) slabs per row-block.
     """
+    # YG>1 row-block paths read per-row-block parameters only via the
+    # vectorized planes; the non-pv branches below fall back to rb=0 scalars
+    # and would silently corrupt row blocks 1.. if _yg() ever allowed YG>1
+    # without _PARAMVEC. Fail loudly instead.
+    assert YG == 1 or pv, "YG>1 requires the vectorized parameter planes"
     refs = list(refs)
     if pv:
         gvec_ref, offs_ref, iv_ref, fv_ref, cv_ref = refs[:5]

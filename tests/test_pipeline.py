@@ -208,6 +208,36 @@ class TestBaselineConfigs:
             np.nan_to_num(np.asarray(img_ch))
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
+    def test_fused_pipeline_matches_scan(self):
+        """tpu.pipeline=fused (the CPU-auto default: XLA fused-slab merge)
+        vs the scan pipeline. Same math; the only sanctioned divergence is
+        the per-slab starved-pixel refill (merge_slab.py: the refill sees a
+        B-row slab instead of the full image — README "Parity notes"), which
+        touches only near-starved pixels at slab/image edges (~1e-2 there).
+        Interior pixels must agree to f32 accumulation-order noise."""
+        ref, comps, _, _ = make_synthetic_burst(64, 128, n_frames=4,
+                                                alpha=ALPHA, beta=BETA,
+                                                seed=37)
+        c = small_config(scale=2)
+        sanitize_config(c, (64, 128))
+        std, diff = flat_curves()
+
+        c.tpu.pipeline = "scan"
+        img_scan, _ = make_pipeline(c, DEFAULT_CFA, WB)(
+            jnp.asarray(ref), jnp.asarray(comps), std, diff)
+
+        c.tpu.pipeline = "fused"
+        img_fused, _ = make_pipeline(c, DEFAULT_CFA, WB)(
+            jnp.asarray(ref), jnp.asarray(comps), std, diff)
+
+        a, b = np.nan_to_num(np.asarray(img_scan)), \
+            np.nan_to_num(np.asarray(img_fused))
+        np.testing.assert_allclose(a, b, atol=5e-2, rtol=0)    # refill bound
+        crop = 8
+        np.testing.assert_allclose(a[crop:-crop, crop:-crop],
+                                   b[crop:-crop, crop:-crop],
+                                   atol=1e-4, rtol=1e-4)
+
     def test_hard_threshold_law(self):
         ref, comps, _, _ = make_synthetic_burst(128, 128, n_frames=3,
                                                 alpha=ALPHA, beta=BETA, seed=24)

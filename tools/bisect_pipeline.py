@@ -62,7 +62,10 @@ def main():
     # permanently on its worst-case fallback — unrepresentative timings.
     # Disk-cached: sweep harnesses (tools/diag_merge_sweep.sh) run one
     # process per variant and regeneration costs ~3 min at 12MP on this box.
-    cache = f"/tmp/hmsr_bisect_burst_{H}x{W}_n{N}.npy"
+    # _g1s0: generator version 1, seed 0 — bump when the recipe (seed,
+    # blur, shift range, noise) changes so stale /tmp files from an older
+    # generator can't silently change measurement inputs across rounds.
+    cache = f"/tmp/hmsr_bisect_burst_g1s0_{H}x{W}_n{N}.npy"
     frames = None
     if os.path.exists(cache):
         try:
