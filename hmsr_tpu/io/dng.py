@@ -18,6 +18,15 @@ EXIFTOOL_PATH = os.environ.get("HMSR_EXIFTOOL", "exiftool")
 DNG_VALIDATE_PATH = os.environ.get("HMSR_DNG_VALIDATE", "dng_validate")
 
 
+def _run_tool(argv, what):
+    """Run an external tag tool, raising with its stderr on failure."""
+    proc = subprocess.run(argv, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{what} exited with status {proc.returncode}:\n{proc.stderr}")
+    return proc
+
+
 def save_as_tiff(int_im, outpath):
     """16-bit uncompressed RGB TIFF (dng_validate chokes on compression)."""
     import imageio
@@ -76,9 +85,7 @@ def save_as_dng(np_img, ref_dng_path, outpath):
         "-o", tmp_path.as_posix(),
         outpath.with_suffix(".tif").as_posix(),
     ]
-    result = subprocess.run(cmd, capture_output=True, text=True)
-    if result.returncode != 0:
-        raise RuntimeError(f"ExifTool command failed: {result.stderr}")
+    _run_tool(cmd, "exiftool (tag copy pass)")
 
     cmd2 = [
         EXIFTOOL_PATH, "-n", "-overwrite_original",
@@ -100,9 +107,7 @@ def save_as_dng(np_img, ref_dng_path, outpath):
         "-IFD0:ForwardMatrix1", "-IFD0:ForwardMatrix2",
         tmp_path.as_posix(),
     ]
-    result = subprocess.run(cmd2, capture_output=True, text=True)
-    if result.returncode != 0:
-        raise RuntimeError(f"ExifTool failed:\n{result.stderr}")
+    _run_tool(cmd2, "exiftool (white-balance pass)")
 
     cmd3 = [DNG_VALIDATE_PATH, "-16", "-dng",
             outpath.with_suffix(".dng").as_posix(), tmp_path.as_posix()]
@@ -112,5 +117,6 @@ def save_as_dng(np_img, ref_dng_path, outpath):
             print(line, end="")
         proc.wait()
         if proc.returncode != 0:
-            raise RuntimeError(f"DNG_validate failed with return code {proc.returncode}")
+            raise RuntimeError(
+                f"dng_validate exited with status {proc.returncode}")
     os.remove(tmp_path)

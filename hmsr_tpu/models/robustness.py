@@ -256,9 +256,10 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
     comp_means, _ = local_stats_3x3(guide)
     # profiling knob (tools/bisect_pipeline.py): truncate the chain after
     # k sub-stages; the output stays shape-correct but carries only the
-    # computed prefix (1 = guide+stats, 2 = +warp, else full). Guarded:
-    # truncation silently corrupts output, so it refuses to run unless the
-    # profiling harness has set HMSR_DEBUG_TRUNC=1.
+    # computed prefix (1 = guide+stats, 2 = +warp, 3 = +noise/threshold
+    # chain w/o the 5x5 local min, else full). Guarded: truncation silently
+    # corrupts output, so it refuses to run unless the profiling harness
+    # has set HMSR_DEBUG_TRUNC=1.
     trunc = int(config.get("tpu", {}).get("rob_trunc", 0))
     if trunc:
         import os
@@ -298,6 +299,8 @@ def compute_robustness(comp_img, ref_stats, flow, cfa_pattern, white_balance,
 
     R = jnp.clip(s_map * jnp.exp(-d_sq / sigma_sq) - tun.t, 0.0, 1.0)
     R = jnp.where(ref_stats.valid & comp_valid, R, 0.0)
+    if trunc == 3:
+        return R
     return local_min_5x5(R)
 
 
