@@ -105,7 +105,13 @@ def main():
               f"img_sum={img.sum():.4f}", flush=True)
         d_img = np.abs(img - want[f"{name}_img"])[8:-8, 8:-8]
         d_flow = np.abs(flow - want[f"{name}_flow"])
-        ok = bool(d_flow.max() < 1e-2 and d_img.mean() < 1e-4)
+        # max-abs gate (round-5): f32 accumulation-order noise between the
+        # Pallas and XLA formulations is ~1e-6 relative, but near-starved
+        # pixels divide by tiny kernel mass and amplify it — 1e-3 bounds
+        # that worst pixel while staying 3 decades above true divergence
+        # (round-4 recorded worst case: 3.7e-4 at ts32).
+        ok = bool(d_flow.max() < 1e-2 and d_img.mean() < 1e-4
+                  and d_img.max() < 1e-3)
         ok_all &= ok
         results[name] = {
             "image_size": size, "tile_size": ts,
@@ -123,7 +129,8 @@ def main():
         results["_meta"] = {
             "device": str(jax.devices()[0]),
             "date": datetime.date.today().isoformat(),
-            "criteria": "flow max|d| < 1e-2 and image mean|d| < 1e-4",
+            "criteria": "flow max|d| < 1e-2, image mean|d| < 1e-4, "
+                        "image max|d| < 1e-3",
         }
         with open(OUT_PATH, "w") as f:
             json.dump(results, f, indent=1)
