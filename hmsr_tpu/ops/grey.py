@@ -57,16 +57,42 @@ def fft_lowpass_grey(img):
 _CIRC_CACHE = {}
 
 
-def _circulants(n, keep_mask_1d):
-    """(Re, Im) circulant matrices of ``ifft(diag(mask) fft(.))``, length n.
+def _circulant_kernel(keep_mask_1d):
+    """f32 circulant kernel ``k = Re(ifft(mask))`` of the 1-D low-pass.
 
-    The spectral low-pass is a circular convolution with the complex kernel
-    ``k = ifft(mask_unshifted)``; ``C[i, j] = k[(i - j) mod n]``. Built in
-    float64 on the host, rounded to f32 once per size.
+    The spectral low-pass is a circular convolution with this kernel;
+    ``C[i, j] = k[(i - j) mod n]``. Built in float64 on the host, rounded
+    to f32 once per size. Only the (n,) kernel is kept host-side — the
+    (n, n) circulant is expanded ON DEVICE (:func:`_circulant_device`):
+    embedding the two 12MP circulants as literals serialized to ~400 MB of
+    StableHLO text (98% of the whole module) and dominated the remote
+    compile's transfer time (tools/probe_module_breakdown.py).
     """
     k = np.fft.ifft(keep_mask_1d.astype(np.float64))
-    idx = (np.arange(n)[:, None] - np.arange(n)[None, :]) % n
-    return np.real(k)[idx].astype(np.float32), np.imag(k)[idx].astype(np.float32)
+    return np.real(k).astype(np.float32)
+
+
+def _circulant_device(k_host):
+    """(n,) host kernel -> (n, n) ``C[i, j] = k[(i - j) mod n]`` on device.
+
+    Gather-free Toeplitz expansion (a 25M-element ``jnp.take`` measured
+    ~3.8 s on the axon TPU — scalar-gather lowering): tile the 2n-element
+    diagonal table ``v[m] = k[(-m) mod n]`` (m < n) / ``k[2n - m]`` (m > n)
+    n times; dropping the last n elements and reshaping to (n, 2n-1) shifts
+    each row one step right, so element (i, j) = v[(j - i) mod 2n] and the
+    first n columns are exactly C (|j - i| <= n-1 never hits the unused
+    v[n]). Pure data movement — bit-identical to the former embedded
+    literal, at ~3 linear HBM passes once per burst call (loop-invariant,
+    hoisted out of the frames scan).
+    """
+    n = int(k_host.shape[0])
+    v = np.zeros(2 * n, dtype=k_host.dtype)
+    v[0] = k_host[0]
+    if n > 1:
+        v[1:n] = k_host[n - 1:0:-1]
+        v[n + 1:] = k_host[n - 1:0:-1]
+    t = jnp.tile(jnp.asarray(v), n)[: n * (2 * n - 1)]
+    return t.reshape(n, 2 * n - 1)[:, :n]
 
 
 def _imag_lowrank(n, keep_mask_1d):
@@ -116,8 +142,8 @@ def fft_lowpass_grey_matmul(img):
         mx = np.ones(w, dtype=np.float64)
         mx[: w // 4] = 0.0
         mx[-w // 4:] = 0.0
-        ah, _ = _circulants(h, np.fft.ifftshift(my))
-        aw, _ = _circulants(w, np.fft.ifftshift(mx))
+        kh = _circulant_kernel(np.fft.ifftshift(my))
+        kw = _circulant_kernel(np.fft.ifftshift(mx))
         # The imaginary circulants are exactly rank-2 (one asymmetric
         # frequency per axis), so the B_h @ X @ B_w^T term collapses to a
         # (2, h) / (w, 2) sandwich — a rounding-level-exact rewrite that
@@ -128,10 +154,12 @@ def fft_lowpass_grey_matmul(img):
         # trace-local tracers into later jit traces of the same size
         # (UnexpectedTracerError on every second trace); NumPy constants
         # are embedded per-trace by JAX and are always safe.
-        _CIRC_CACHE[key] = (ah, aw,
+        _CIRC_CACHE[key] = (kh, kw,
                            uh.astype(np.float32), vh.astype(np.float32),
                            uw.astype(np.float32), vw.astype(np.float32))
-    a_h, a_w, u_h, v_h, u_w, v_w = _CIRC_CACHE[key]
+    k_h, k_w, u_h, v_h, u_w, v_w = _CIRC_CACHE[key]
+    a_h = _circulant_device(k_h)
+    a_w = _circulant_device(k_w)
     import jax
 
     def dd(a, b, dims):

@@ -60,6 +60,32 @@ _XG_MULT = max(1, int(_os.environ.get("HMSR_ICA_XG", "2")))
 _YG_MULT = max(1, int(_os.environ.get("HMSR_ICA_YG", "4")))
 
 
+#: DIAGNOSTIC ONLY (tools/bisect_pipeline.py): stub out parts of the GN-step
+#: kernel to attribute its per-program fixed cost. Every variant zeroes the
+#: flow UPDATE (out multiplied by a runtime 0 the compiler can't fold), so
+#: the flow stays frozen at its block-matching seed and all variants see
+#: identical, coherent window-DMA patterns — deltas between variants are
+#: then pure phase costs. Cumulative stripping:
+#:   "zero"      full work, zeroed update (the diag family baseline)
+#:   "notap"     + skip the tap-matmul/bilinear/residual phase
+#:   "norealign" + skip the realign matmuls/slices (slab left stale)
+#:   "nodma"     + skip the group-window DMA issue/wait as well
+#: Output is WRONG under any non-empty value, so (like tpu.rob_trunc) it
+#: refuses to run unless the profiling harness also sets HMSR_DEBUG_TRUNC=1.
+def _read_diag():
+    diag = _os.environ.get("HMSR_ICA_DIAG", "")
+    if diag and _os.environ.get("HMSR_DEBUG_TRUNC") != "1":
+        raise ValueError(
+            "HMSR_ICA_DIAG is a profiling-only knob that stubs out parts "
+            "of the ICA GN-step kernel (output becomes meaningless). Unset "
+            "it, or set HMSR_DEBUG_TRUNC=1 if you are attributing "
+            "performance.")
+    return diag
+
+
+_DIAG = _read_diag()
+
+
 def _xg(ts):
     return _XG_MULT * max(1, 128 // int(np.gcd(int(ts), 128)))
 
@@ -250,7 +276,8 @@ class _PvRealign(NamedTuple):
 
 def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
                     stride, Sys, Sxs, VW, XG, ROWS, hps, wps, x_ref=None,
-                    pv=None, read_sxy=None, YG=1, WINP=None, fidx=None):
+                    pv=None, read_sxy=None, YG=1, WINP=None, fidx=None,
+                    skip_dma=False, skip_realign=False):
     """Fill the (YG*WINP, XG*VW) slab ``u_dst`` with the per-tile windows
     of ``src`` at (Sys[t], Sxs[t]): group-DMA fast path with CROSS-PROGRAM
     double buffering + per-tile-DMA fallback. Row-block rb's tiles land at
@@ -318,17 +345,21 @@ def _kernel_realign(src, gwin2_ref, win_ref, u_dst, sem, gsem2, pi_ref,
 
     slot = jax.lax.rem(jg, 2)
 
-    @pl.when(jg == 0)
-    def _():
-        issue(jg, slot)
+    if not skip_dma:
+        @pl.when(jg == 0)
+        def _():
+            issue(jg, slot)
 
-    pltpu.make_async_copy(
-        _src_at(pl.ds(gby, GROWS), pl.ds(gbx, GCOLS)),
-        gwin2_ref.at[slot], gsem2.at[slot]).wait()
+        pltpu.make_async_copy(
+            _src_at(pl.ds(gby, GROWS), pl.ds(gbx, GCOLS)),
+            gwin2_ref.at[slot], gsem2.at[slot]).wait()
 
-    @pl.when(jg + 1 < nj)
-    def _():
-        issue(jg + 1, 1 - slot)
+        @pl.when(jg + 1 < nj)
+        def _():
+            issue(jg + 1, 1 - slot)
+
+    if skip_realign:     # diag only: slab left stale
+        return
 
     gwin_ref = gwin2_ref.at[slot]
 
@@ -433,6 +464,10 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP,
     SLAB = XG * WIN
     L = XG * ts
 
+    skip_dma = _DIAG == "nodma"
+    skip_realign = _DIAG in ("norealign", "nodma")
+    skip_taps = _DIAG in ("notap", "norealign", "nodma")
+
     if pv:
         def read_sxy(rb):
             return ([pi_ref[0, 0, (rb * NT + jg_ * XG + t) * 4 + 0]
@@ -444,7 +479,8 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP,
                         pi_ref, 4, None, None, WIN, XG, ROWS, hp, wp,
                         x_ref=x_ref,
                         pv=_PvRealign(gvec_ref, offs_ref, iv_ref, 0, NT),
-                        read_sxy=read_sxy, YG=YG, WINP=WINP, fidx=fidx)
+                        read_sxy=read_sxy, YG=YG, WINP=WINP, fidx=fidx,
+                        skip_dma=skip_dma, skip_realign=skip_realign)
     else:
         Sys, Sxs, oks, fxs, fys = [], [], [], [], []
         for t in range(XG):
@@ -457,7 +493,12 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP,
 
         _kernel_realign(mov_ref, gwin_ref, win_ref, u_ref, sem, sem_g,
                         pi_ref, 4, Sys, Sxs, WIN, XG, ROWS, hp, wp,
-                        x_ref=x_ref, fidx=fidx)
+                        x_ref=x_ref, fidx=fidx,
+                        skip_dma=skip_dma, skip_realign=skip_realign)
+
+    if skip_taps:       # diag only: zero flow update keeps iterations coherent
+        out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
+        return
 
     # constant tap-selection matrices: slab col j of the (.., XG*ts) tap
     # plane reads U-slab col (j//ts)*WIN + j%ts (+1 for the right tap).
@@ -504,6 +545,10 @@ def _ica_step_kernel(*args, ts, XG, WIN, ROWS, hp, wp, pv, YG, WINP,
     sj = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
     Seg = ((si // ts) == sj).astype(jnp.float32)
     bv = _dot_sel(jnp.concatenate(cs, axis=0), Seg)       # (2*YG, 128)
+    if _DIAG:           # "zero": full work, update killed by a RUNTIME zero
+        # (the params row's spare slot — a literal 0.0 would let the
+        # compiler fold the whole tap phase away and ruin the attribution)
+        bv = bv * pi_ref[0, 0, 3].astype(jnp.float32)
     out_ref[:, :] = jnp.pad(bv, ((0, 8 - 2 * YG), (0, 0)))
 
 

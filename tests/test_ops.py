@@ -194,6 +194,20 @@ class TestGreyMatmul:
         b = np.asarray(fft_lowpass_grey_matmul(jnp.asarray(img)))
         np.testing.assert_allclose(a, b, atol=2e-5)
 
+    @pytest.mark.parametrize("n", [1, 2, 5, 64, 97])
+    def test_circulant_device_bitexact(self, n):
+        """The on-device Toeplitz expansion must reproduce the embedded
+        (n, n) literal ``k[(i - j) mod n]`` BIT-exactly (it replaced ~400 MB
+        of 12MP StableHLO constant payload; values are pure data movement)."""
+        from hmsr_tpu.ops.grey import _circulant_device, _circulant_kernel
+        mask = (np.random.RandomState(n).rand(n) > 0.4).astype(np.float64)
+        k = _circulant_kernel(mask)
+        idx = (np.arange(n)[:, None] - np.arange(n)[None, :]) % n
+        want = k[idx]
+        got = np.asarray(_circulant_device(k))
+        assert got.shape == (n, n)
+        np.testing.assert_array_equal(got, want)
+
     def test_matmul_retrace_no_tracer_leak(self):
         """Regression: the circulant cache once stored trace-local jnp
         constants, so the SECOND jit trace at the same size raised
