@@ -116,9 +116,14 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
         f" scale={config.scale} mode={config.mode}")
 
     pipe = make_pipeline(config, CFA, [1.0, 1.0, 1.0], jit=False)
+    # grey circulants fed through the jit boundary as ARGUMENTS (not
+    # closure literals, not per-call in-trace expansion) — grey.py
+    # grey_matmul_consts docstring has the payload/steady-state numbers
+    from hmsr_tpu.ops.grey import grey_consts_for
+    gc = grey_consts_for(config, frames[0].shape)
 
-    def run_with_checksum(ref, comps, std, diff):
-        img, _ = pipe(ref, comps, std, diff)
+    def run_with_checksum(ref, comps, std, diff, gc):
+        img, _ = pipe(ref, comps, std, diff, grey_consts=gc)
         sub = img[::31, ::37]                  # (H*s, W*s, c) sampled
         # border pixels with zero accumulated weight are NaN (the reference
         # nan_to_nums at the CLI); keep the checksum finite
@@ -132,7 +137,7 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
 
     log(f"[{h}x{w}{tag} x{n_frames}] compiling ...")
     t0 = time.perf_counter()
-    v = float(np.asarray(fn(ref_d, comps_d, std_d, diff_d)))
+    v = float(np.asarray(fn(ref_d, comps_d, std_d, diff_d, gc)))
     log(f"[{h}x{w}{tag} x{n_frames}] compile+run {time.perf_counter()-t0:.1f}s "
         f"checksum={v:.3f}")
     assert np.isfinite(v)
@@ -142,7 +147,7 @@ def bench_size(h, w, n_frames, std_curve, diff_curve, n_runs=3,
         comps_i = comps_d + jnp.float32(1e-7 * (i + 1))
         _ = float(np.asarray(jnp.sum(comps_i[0, ::512, ::512])))  # settle input
         t0 = time.perf_counter()
-        v = float(np.asarray(fn(ref_d, comps_i, std_d, diff_d)))
+        v = float(np.asarray(fn(ref_d, comps_i, std_d, diff_d, gc)))
         times.append(time.perf_counter() - t0)
         log(f"[{h}x{w}{tag} x{n_frames}] run {i}: {times[-1]:.3f}s checksum={v:.3f}")
     return min(times)

@@ -171,12 +171,16 @@ def flow_to_raw_grid(flow, raw_shape, tile_size):
 
 
 def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
-                 cfa_pattern, white_balance):
+                 cfa_pattern, white_balance, grey_consts=None):
     """Traceable pipeline body. All config/cfa/wb are trace-time constants.
 
     Returns ``(image, debug)`` where ``image`` is (H*s, W*s, c) num/den and
     ``debug`` holds optional per-frame flows/robustness and the accumulated
     robustness mask.
+
+    ``grey_consts``: optional :func:`hmsr_tpu.ops.grey.grey_matmul_consts`
+    pair passed as ARGUMENTS through the caller's jit boundary; None falls
+    back to the in-trace circulant expansion (bit-identical, ~54 ms/call).
     """
     bayer = config.mode == "bayer"
     scale = config.scale
@@ -194,7 +198,8 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
     ts_raw = int(config.block_matching.tuning.tile_size)
 
     def to_grey(frame):
-        return compute_grey_image(frame, grey_method, impl=grey_impl) \
+        return compute_grey_image(frame, grey_method, impl=grey_impl,
+                                  consts=grey_consts) \
             if bayer else frame
 
     def to_raw_flow(flow, raw_shape):
@@ -368,4 +373,18 @@ def make_pipeline(config, cfa_pattern, white_balance, jit=True):
     cfa = np.asarray(cfa_pattern)
     wb = [float(x) for x in white_balance]
     fn = partial(run_pipeline, config=config, cfa_pattern=cfa, white_balance=wb)
-    return jax.jit(fn) if jit else fn
+    if not jit:
+        return fn
+    jfn = jax.jit(fn)
+    from ..ops.grey import grey_consts_for
+
+    def with_grey_consts(ref_img, comp_imgs, std_curve, diff_curve):
+        # device circulants computed EAGERLY once per size and fed through
+        # the jit boundary as arguments: keeps the grey low-pass matrices
+        # out of both the StableHLO literal payload (~400 MB at 12MP) and
+        # the steady-state program (~54 ms/call in-trace expansion) —
+        # grey.grey_matmul_consts docstring has the numbers.
+        return jfn(ref_img, comp_imgs, std_curve, diff_curve,
+                   grey_consts=grey_consts_for(config, ref_img.shape))
+
+    return with_grey_consts

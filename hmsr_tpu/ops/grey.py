@@ -120,20 +120,8 @@ def _imag_lowrank(n, keep_mask_1d):
     return np.stack(cols_u, 1), np.stack(cols_v, 1)
 
 
-def fft_lowpass_grey_matmul(img):
-    """:func:`fft_lowpass_grey` evaluated as MXU matmuls.
-
-    The keep-mask is separable (``my * mx``), so the transform is a
-    separable circular convolution; taking the real part for a real input
-    gives ``A_h @ img @ A_w^T - B_h @ img @ B_w^T`` with (A, B) the
-    real/imaginary circulant parts per axis (the reference's band slices
-    are one frequency row short of symmetric, so B is not exactly zero —
-    reference utils_image.py:91-94). Mathematically identical to the FFT
-    path; ~5x faster at 12MP (the MXU runs the O(n^2) formulation faster
-    than XLA's TPU FFT lowering). HIGHEST precision keeps the result
-    within ~1e-5 of the FFT path.
-    """
-    h, w = img.shape
+def _circ_entries(h, w):
+    """Host-side cache entry (k_h, k_w, u_h, v_h, u_w, v_w) for size (h, w)."""
     key = (h, w)
     if key not in _CIRC_CACHE:
         my = np.ones(h, dtype=np.float64)
@@ -157,9 +145,88 @@ def fft_lowpass_grey_matmul(img):
         _CIRC_CACHE[key] = (kh, kw,
                            uh.astype(np.float32), vh.astype(np.float32),
                            uw.astype(np.float32), vw.astype(np.float32))
-    k_h, k_w, u_h, v_h, u_w, v_w = _CIRC_CACHE[key]
-    a_h = _circulant_device(k_h)
-    a_w = _circulant_device(k_w)
+    return _CIRC_CACHE[key]
+
+
+_CIRC_DEV_CACHE = {}
+
+
+def grey_matmul_consts(shape):
+    """Eager (outside-jit) device circulants for :func:`fft_lowpass_grey_matmul`.
+
+    Pass the result across your jit boundary as an ARGUMENT and down into
+    ``compute_grey_image(..., consts=...)``. The in-trace fallback re-expands
+    the Toeplitz structure on device every pipeline call (~54 ms/burst at
+    12MP, tools/grey_circ_r5.log), while closing over the expanded matrices
+    embeds ~400 MB of StableHLO literal text (the round-4 module,
+    tools/probe_module_breakdown.py). Bit-identical to both.
+    """
+    h, w = int(shape[0]), int(shape[1])
+    try:
+        from jax._src.core import trace_state_clean
+        clean = trace_state_clean()
+    except Exception:
+        clean = True
+    if not clean:
+        raise RuntimeError(
+            "grey_matmul_consts must be called OUTSIDE jit (eagerly): inside "
+            "a trace its arrays become embedded module literals, recreating "
+            "the 400 MB StableHLO payload this function exists to avoid")
+    key = (h, w)
+    if key not in _CIRC_DEV_CACHE:
+        k_h, k_w = _circ_entries(h, w)[:2]
+        _CIRC_DEV_CACHE[key] = (_circulant_device(k_h),
+                                _circulant_device(k_w))
+    return _CIRC_DEV_CACHE[key]
+
+
+def grey_consts_for(config, shape):
+    """``grey_matmul_consts(shape)`` iff ``config`` resolves to the matmul
+    grey path (bayer mode, FFT method, matmul/auto-on-TPU impl), else None.
+    Shared by every jit-boundary owner (make_pipeline, bench, bisect)."""
+    grey_impl = str(config.get("tpu", {}).get("grey_impl", "auto"))
+    wants = (str(config.get("mode", "bayer")) == "bayer"
+             and str(config.get("grey_method", "FFT")) == "FFT"
+             and (grey_impl == "matmul"
+                  or (grey_impl == "auto" and _grey_matmul_default())))
+    try:
+        from jax._src.core import trace_state_clean
+        if not trace_state_clean():
+            # caller jitted AROUND the consts computation (e.g. double-jit
+            # of make_pipeline's wrapper): degrade to the in-trace expansion
+            # fallback rather than embed literals or hard-fail
+            return None
+    except ImportError:
+        pass
+    return grey_matmul_consts(shape) if wants else None
+
+
+def fft_lowpass_grey_matmul(img, consts=None):
+    """:func:`fft_lowpass_grey` evaluated as MXU matmuls.
+
+    The keep-mask is separable (``my * mx``), so the transform is a
+    separable circular convolution; taking the real part for a real input
+    gives ``A_h @ img @ A_w^T - B_h @ img @ B_w^T`` with (A, B) the
+    real/imaginary circulant parts per axis (the reference's band slices
+    are one frequency row short of symmetric, so B is not exactly zero —
+    reference utils_image.py:91-94). Mathematically identical to the FFT
+    path; ~5x faster at 12MP (the MXU runs the O(n^2) formulation faster
+    than XLA's TPU FFT lowering). HIGHEST precision keeps the result
+    within ~1e-5 of the FFT path.
+
+    ``consts``: optional ``(a_h, a_w)`` from :func:`grey_matmul_consts`,
+    threaded through the caller's jit boundary as arguments; None falls
+    back to expanding the circulants in-trace (bit-identical, ~54 ms).
+    """
+    h, w = img.shape
+    k_h, k_w, u_h, v_h, u_w, v_w = _circ_entries(h, w)
+    if consts is None:
+        a_h = _circulant_device(k_h)
+        a_w = _circulant_device(k_w)
+    else:
+        a_h, a_w = consts
+        assert a_h.shape == (h, h) and a_w.shape == (w, w), \
+            (a_h.shape, a_w.shape, (h, w))
     import jax
 
     def dd(a, b, dims):
@@ -257,15 +324,17 @@ def _grey_matmul_default():
         return False
 
 
-def compute_grey_image(img, method, impl="auto"):
+def compute_grey_image(img, method, impl="auto", consts=None):
     """Dispatch on the grey method name used by the config.
 
     ``impl``: "fft" | "matmul" | "auto" (matmul on TPU — same operator,
     ~5x faster there; FFT elsewhere, where pocketfft wins).
+    ``consts``: optional :func:`grey_matmul_consts` pair threaded through
+    the caller's jit boundary (matmul path only).
     """
     if method == "FFT":
         if impl == "matmul" or (impl == "auto" and _grey_matmul_default()):
-            return fft_lowpass_grey_matmul(img)
+            return fft_lowpass_grey_matmul(img, consts=consts)
         return fft_lowpass_grey(img)
     if method == "decimating":
         return decimate_to_grey(img)

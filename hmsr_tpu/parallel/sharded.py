@@ -90,7 +90,8 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
     accumulate_r = bool(robustness_denoise or config.robustness.save_mask)
     debug_mode = bool(config.debug)
 
-    def body(ref_img, comps_local, weights_local, std_curve, diff_curve):
+    def body(ref_img, comps_local, weights_local, std_curve, diff_curve,
+             grey_consts):
         ref_img = ref_img.astype(DEFAULT_FLOAT)
         comps_local = comps_local.astype(DEFAULT_FLOAT)
 
@@ -99,7 +100,8 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         ts_raw = int(config.block_matching.tuning.tile_size)
         grey_impl = str(config.get("tpu", {}).get("grey_impl", "auto"))
         to_grey = (lambda f: compute_grey_image(f, grey_method,
-                                                impl=grey_impl)) if bayer \
+                                                impl=grey_impl,
+                                                consts=grey_consts)) if bayer \
             else (lambda f: f)
         ref_grey = to_grey(ref_img)
         align_state = init_alignment(ref_grey, config)
@@ -205,13 +207,14 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
     check_vma = not use_pallas
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P("frames"), P("frames"), P(), P()),
+        in_specs=(P(), P("frames"), P("frames"), P(), P(), P()),
         out_specs=out_specs,
         check_vma=check_vma,
     )
 
-    def fn(ref_img, comps, weights, std_curve, diff_curve):
-        outs = sharded(ref_img, comps, weights, std_curve, diff_curve)
+    def fn(ref_img, comps, weights, std_curve, diff_curve, grey_consts=None):
+        outs = sharded(ref_img, comps, weights, std_curve, diff_curve,
+                       grey_consts)
         num, den = outs[0], outs[1]
         # bands cover the PADDED accumulator on the pallas path; crop to the
         # true image, then normalize with full-image refill context
@@ -222,4 +225,15 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
         return (image,) + outs[2:]
 
-    return jax.jit(fn) if jit else fn
+    if not jit:
+        return fn
+    jfn = jax.jit(fn)
+    from ..ops.grey import grey_consts_for
+
+    def with_grey_consts(ref_img, comps, weights, std_curve, diff_curve):
+        # same transport as make_pipeline: circulants as jit arguments,
+        # replicated (P()) across the mesh — see grey.grey_matmul_consts
+        return jfn(ref_img, comps, weights, std_curve, diff_curve,
+                   grey_consts=grey_consts_for(config, ref_img.shape))
+
+    return with_grey_consts

@@ -208,6 +208,42 @@ class TestGreyMatmul:
         assert got.shape == (n, n)
         np.testing.assert_array_equal(got, want)
 
+    def test_consts_arg_bitexact_vs_fallback(self):
+        """Feeding grey_matmul_consts through a jit boundary as arguments
+        must be BIT-identical to the in-trace expansion fallback (same
+        arrays, same dot_generals — only the transport differs)."""
+        import jax
+        from hmsr_tpu.ops.grey import fft_lowpass_grey_matmul, grey_matmul_consts
+        img = np.random.RandomState(3).rand(48, 64).astype(np.float32)
+        gc = grey_matmul_consts((48, 64))
+        a = np.asarray(jax.jit(fft_lowpass_grey_matmul)(jnp.asarray(img)))
+        b = np.asarray(jax.jit(
+            lambda x, c: fft_lowpass_grey_matmul(x, consts=c))(
+                jnp.asarray(img), gc))
+        np.testing.assert_array_equal(a, b)
+
+    def test_grey_consts_for_gating(self):
+        """grey_consts_for: None off the matmul path, (a_h, a_w) on it,
+        and None (graceful fallback) when called inside a trace."""
+        import jax
+        from hmsr_tpu.ops.grey import grey_consts_for
+
+        class C(dict):
+            pass
+        bayer_matmul = {"mode": "bayer", "grey_method": "FFT",
+                        "tpu": {"grey_impl": "matmul"}}
+        assert grey_consts_for(bayer_matmul, (32, 32)) is not None
+        assert grey_consts_for({"mode": "grey"}, (32, 32)) is None
+        assert grey_consts_for({"mode": "bayer",
+                                "grey_method": "decimating"}, (32, 32)) is None
+
+        seen = []
+        def inner(x):
+            seen.append(grey_consts_for(bayer_matmul, (32, 32)))
+            return x
+        jax.jit(inner)(jnp.ones(3))
+        assert seen == [None]
+
     def test_matmul_retrace_no_tracer_leak(self):
         """Regression: the circulant cache once stored trace-local jnp
         constants, so the SECOND jit trace at the same size raised

@@ -208,6 +208,27 @@ class TestBaselineConfigs:
             np.nan_to_num(np.asarray(img_ch))
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
+    def test_grey_consts_arg_bitexact(self):
+        """make_pipeline(jit=True)'s grey-consts wrapper (device circulants
+        fed as jit ARGUMENTS) must be BIT-identical to the jit=False
+        in-trace-expansion fallback on the matmul grey path."""
+        ref, comps, _, _ = make_synthetic_burst(64, 128, n_frames=4,
+                                                alpha=ALPHA, beta=BETA,
+                                                seed=41)
+        c = small_config(scale=2)
+        sanitize_config(c, (64, 128))
+        c.tpu.pipeline = "scan"
+        c.tpu.grey_impl = "matmul"     # force the consts-bearing path on CPU
+        std, diff = flat_curves()
+
+        import jax
+        img_wrap, _ = make_pipeline(c, DEFAULT_CFA, WB)(
+            jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        img_fall, _ = jax.jit(make_pipeline(c, DEFAULT_CFA, WB, jit=False))(
+            jnp.asarray(ref), jnp.asarray(comps), std, diff)
+        np.testing.assert_array_equal(np.nan_to_num(np.asarray(img_wrap)),
+                                      np.nan_to_num(np.asarray(img_fall)))
+
     def test_fused_pipeline_matches_scan(self):
         """tpu.pipeline=fused (the CPU-auto default: XLA fused-slab merge)
         vs the scan pipeline. Same math; the only sanctioned divergence is

@@ -50,9 +50,15 @@ def main():
     sanitize_config(config, (H, W))
 
     pipe = make_pipeline(config, CFA, [1.0, 1.0, 1.0], jit=False)
+    # mirror bench.py: grey circulants as jit ARGUMENTS (shape-only here —
+    # this probe traces/lowers/compiles but never executes)
+    from hmsr_tpu.ops.grey import grey_consts_for
+    gc_real = grey_consts_for(config, (H, W))
+    gc = None if gc_real is None else tuple(
+        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in gc_real)
 
-    def run(ref, comps, std, diff):
-        img, _ = pipe(ref, comps, std, diff)
+    def run(ref, comps, std, diff, gc):
+        img, _ = pipe(ref, comps, std, diff, grey_consts=gc)
         sub = img[::31, ::37]
         return jnp.sum(jnp.where(jnp.isfinite(sub), sub, 0.0))
 
@@ -66,7 +72,7 @@ def main():
 
     fn = jax.jit(run)
     t0 = time.perf_counter()
-    traced = fn.trace(ref, comps, std, diff)
+    traced = fn.trace(ref, comps, std, diff, gc)
     t_trace = time.perf_counter() - t0
     print(f"trace:   {t_trace:8.1f}s", flush=True)
 
