@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.accumfix import normalize_accum
+from ..ops.accumfix import REFILL_BORDER, normalize_accum
 from ..ops.grey import compute_grey_image
 from ..utils.types import DEFAULT_FLOAT
 from .alignment import align, init_alignment
@@ -221,8 +221,12 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         # burst-fused "chunked" grid measured slightly SLOWER end-to-end
         # (2.49 s vs 2.30 s at 20x12MP/x2 — accumulator HBM round trips are
         # only ~55 ms total at v5e bandwidth, and the analyze phase pays to
-        # materialize per-frame robustness/covariance stacks); the fused-slab
-        # path is best for XLA-only backends
+        # materialize per-frame robustness/covariance stacks); the "vmapped"
+        # frames-batched analysis also measured SLOWER (1.850 s vs 1.763 s
+        # at 20x12MP/Ts=16, tools/ab_pipeline_r5.log — program count is
+        # unchanged, so the per-program fixed cost it was meant to amortize
+        # stays, while the stacked analysis products add HBM traffic); the
+        # fused-slab path is best for XLA-only backends
         pipe_mode = "scan" if _on_tpu() else "fused"
     fused = pipe_mode == "fused" and _use_tiled(config)
     chunked = pipe_mode == "chunked" and _use_tiled(config)
@@ -281,7 +285,9 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern,
                                 config,
                                 acc_rob=acc_r if robustness_denoise else None)
-        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        image = jnp.transpose(
+            normalize_accum(num, den, refill_border=REFILL_BORDER),
+            (1, 2, 0))
         if debug_mode:
             debug["flow"] = flows
             debug["robustness"] = rmaps
@@ -315,7 +321,9 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
             num, den = merge_ref_fn(
                 ref_img, ref_covs, num, den, cfa_pattern, config,
                 acc_rob=acc_r if robustness_denoise else None)
-            image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+            image = jnp.transpose(
+            normalize_accum(num, den, refill_border=REFILL_BORDER),
+            (1, 2, 0))
         else:
             fused_impl = merge_burst_slab \
                 if config.get("tpu", {}).get("fused_impl", "slab") == "slab" \
@@ -353,7 +361,9 @@ def run_pipeline(ref_img, comp_imgs, std_curve, diff_curve, config,
         num, den = merge_ref_fn(ref_img, ref_covs, num, den, cfa_pattern,
                                 config,
                                 acc_rob=acc_r if robustness_denoise else None)
-        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        image = jnp.transpose(
+            normalize_accum(num, den, refill_border=REFILL_BORDER),
+            (1, 2, 0))
         # -> (H*s, W*s, c)
         if debug_mode and ys is not None:
             debug["flow"] = ys[0]

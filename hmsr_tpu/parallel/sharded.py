@@ -35,7 +35,7 @@ from ..models.pipeline import flow_to_raw_grid, _on_tpu
 from ..models.merge import merge, merge_ref
 from ..models.merge_tiled import merge_tiled
 from ..models.robustness import compute_robustness, init_robustness
-from ..ops.accumfix import normalize_accum
+from ..ops.accumfix import REFILL_BORDER, normalize_accum
 from ..ops.grey import compute_grey_image
 from ..utils.types import DEFAULT_FLOAT
 
@@ -222,7 +222,8 @@ def make_sharded_pipeline(config, cfa_pattern, white_balance, mesh, jit=True):
         out_w = round(scale * ref_img.shape[1])
         num = num[:, :out_h, :out_w]
         den = den[:, :out_h, :out_w]
-        image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+        image = jnp.transpose(
+            normalize_accum(num, den, refill_border=REFILL_BORDER), (1, 2, 0))
         return (image,) + outs[2:]
 
     if not jit:

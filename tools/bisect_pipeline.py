@@ -124,7 +124,8 @@ def measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
         ref_grey = compute_grey_image(ref_img, "FFT", consts=gc)
         astate = init_alignment(ref_grey, config) if stage not in ("upload", "grey") else None
         rstats = init_robustness(ref_img, CFA, WB, (std, diff), config) \
-            if stage in ("rob", "kern", "merge", "mergeref", "all") else None
+            if stage in ("rob", "kern", "merge", "mergeref", "norm", "all") \
+            else None
 
         out_h, out_w = 2 * H, 2 * W
         # mirror run_pipeline: the Pallas merge accumulates IN PLACE only at
@@ -165,18 +166,32 @@ def measure(stage, ref_d, comps_d, frames, config, CFA, WB, std, diff,
             return (num, den), acc
 
         (num, den), ys = jax.lax.scan(step, (num, den), comps)
-        if stage in ("merge", "all", "mergeref"):
+        if stage in ("merge", "all", "mergeref", "norm"):
             num = num[:, :out_h, :out_w]
             den = den[:, :out_h, :out_w]
             if stage != "merge":
                 ref_covs = estimate_kernels(ref_img, config)
                 num, den = merge_ref_fn(ref_img, ref_covs, num, den, CFA, config)
+            if stage == "norm":
+                # finalize-tail split: full-image starved-pixel normalize
+                # WITHOUT the channel-last transpose (all - norm = transpose
+                # + HWC-subsample cost; norm - mergeref = normalize cost —
+                # mergeref's divide fuses into its subsample so it computes
+                # only the sampled points)
+                from hmsr_tpu.ops.accumfix import normalize_accum
+                image = normalize_accum(num, den)
+                sub = image[:, ::97, ::101]
+                return jnp.sum(jnp.where(jnp.isfinite(sub), sub, 0.0)) \
+                    + jnp.sum(ys)
             if stage == "all":
                 # the TRUE pipeline tail (run_pipeline): starved-pixel
                 # normalize + channel-last transpose (mergeref used to alias
                 # this, hiding the finalize cost)
-                from hmsr_tpu.ops.accumfix import normalize_accum
-                image = jnp.transpose(normalize_accum(num, den), (1, 2, 0))
+                from hmsr_tpu.ops.accumfix import (REFILL_BORDER,
+                                                   normalize_accum)
+                image = jnp.transpose(
+                    normalize_accum(num, den, refill_border=REFILL_BORDER),
+                    (1, 2, 0))
                 sub = image[::97, ::101]
                 return jnp.sum(jnp.where(jnp.isfinite(sub), sub, 0.0)) \
                     + jnp.sum(ys)
