@@ -662,6 +662,12 @@ def _fold_frames(params_fn, flow, batched):
     return [o.reshape((-1,) + o.shape[2:]) for o in ops]
 
 
+# jit = TRACE DEDUP (see _bm_run): the 3 GN iterations per level re-traced
+# this kernel body each call (~4 s each at 12MP); one cached trace now
+# serves all iterations of a level and both scan body passes. The merge
+# kernel must NOT get this treatment — its pallas_call's input/output
+# aliasing does not survive a nested jit boundary.
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
 def _ica_step_run(ref_c, gx, gy, mov_pad, flow, *, ts, interpret):
     batched = flow.ndim == 4
     F = flow.shape[0] if batched else 1
@@ -927,6 +933,15 @@ def _bm_params(flow2, *, ts, rbm, h, w, pad, XG, YG, nyP, nyB, NTXP,
     return head_ops
 
 
+# jit = TRACE DEDUP, not dispatch: Pallas kernel-body tracing dominated the
+# client-side cost of the 12MP pipeline's first call (66 s of the 77 s trace,
+# tools/profile_trace.py cProfile), and lax.scan traces its body twice — the
+# nested jit makes every identical-(shapes, statics) call reuse one cached
+# kernel trace. First call 202.5 -> 112.9 s; steady state and checksums
+# unchanged (tools/probe_compile_r5b.log, finalize_split_r5.log).
+@functools.partial(jax.jit,
+                   static_argnames=("ts", "rbm", "metric", "h", "w", "pad",
+                                    "interpret"))
 def _bm_run(ref_c, mov_pad, flow, *, ts, rbm, metric, h, w, pad, interpret):
     batched = flow.ndim == 4
     F = flow.shape[0] if batched else 1
