@@ -180,15 +180,26 @@ def grey_matmul_consts(shape):
     return _CIRC_DEV_CACHE[key]
 
 
+def _ct_eligible(shape):
+    """True when both axes have a usable Cooley-Tukey factor pair."""
+    return (_ct_split(int(shape[0])) is not None
+            and _ct_split(int(shape[1])) is not None)
+
+
 def grey_consts_for(config, shape):
-    """``grey_matmul_consts(shape)`` iff ``config`` resolves to the matmul
-    grey path (bayer mode, FFT method, matmul/auto-on-TPU impl), else None.
-    Shared by every jit-boundary owner (make_pipeline, bench, bisect)."""
+    """``grey_matmul_consts(shape)`` iff ``config`` resolves to the CIRCULANT
+    MATMUL grey path (bayer mode, FFT method, matmul impl — or auto on TPU
+    at a CT-ineligible size), else None. The production auto path on TPU is
+    the Cooley-Tukey transform, whose factor constants are (n1+n2)-sized
+    per-trace literals and need no argument threading. Shared by every
+    jit-boundary owner (make_pipeline, bench, bisect)."""
     grey_impl = str(config.get("tpu", {}).get("grey_impl", "auto"))
     wants = (str(config.get("mode", "bayer")) == "bayer"
              and str(config.get("grey_method", "FFT")) == "FFT"
              and (grey_impl == "matmul"
-                  or (grey_impl == "auto" and _grey_matmul_default())))
+                  or (grey_impl in ("auto", "ct")
+                      and _grey_matmul_default()
+                      and not _ct_eligible(shape))))
     try:
         from jax._src.core import trace_state_clean
         if not trace_state_clean():
@@ -241,6 +252,157 @@ def fft_lowpass_grey_matmul(img, consts=None):
         # B_h X B_w^T = U_h (V_h^T X V_w) U_w^T with a (2, 2) middle
         mid = dd(dd(v_h.T, x, left), v_w, left)       # (2, 2)
         out = out - dd(dd(u_h, mid, left), u_w, right)
+    return out.astype(DEFAULT_FLOAT)
+
+
+_CT_CACHE = {}
+
+
+def _ct_split(n, prefer=None):
+    """Cooley-Tukey factor pair (n1, n2): n1 * n2 == n, both >= 8. None when
+    no such pair exists (prime/awkward n) — callers fall back to the direct
+    circulant matmul.
+
+    prefer="sqrt" (default): n1 maximal <= sqrt(n), minimizing the raw MAC
+    count n*(n1+n2). "mxu": n1 maximal <= 128, sizing the first-stage
+    contraction (K = n1) to the MXU's K=128 tiling — measured WORSE at 12MP
+    despite the better K utilization (6.21 vs 4.55 ms/frame,
+    tools/ab_grey_ct_{mxu,sqrt}.log: the skewed 120x25 / 125x32 splits
+    shrink the lane-dim extents of the second-stage/twiddle intermediates
+    and raise the MAC count; don't redo)."""
+    import math
+    import os
+    prefer = prefer or os.environ.get("HMSR_GREY_CT_SPLIT", "sqrt")
+    top = min(n // 8, 128) if prefer == "mxu" else math.isqrt(n)
+    for n1 in range(top, 7, -1):
+        if n % n1 == 0:
+            return n1, n // n1
+    return None
+
+
+def _ct_entries(n):
+    """Host constants for the 1-D masked spectral low-pass evaluated as a
+    two-stage (Cooley-Tukey) matmul FFT.
+
+    The direct circulant form ``C @ x`` costs n^2 MACs per output column;
+    splitting n = n1 * n2 (j = n2 j1 + j2, k = k1 + n1 k2) factors the DFT
+    into an (n1, n1) stage, an elementwise twiddle, and an (n2, n2) stage —
+    ``X[k1 + n1 k2] = sum_j2 w_n2^(j2 k2) * (w_n^(j2 k1) *
+    sum_j1 x[n2 j1 + j2] w_n1^(j1 k1))`` — i.e. ~n (n1 + n2) MACs. The 0/1
+    keep-mask zeroes half the frequencies; at 12MP sizes the kept band
+    aligns to whole k2 blocks, so the second stage only materializes the
+    kept columns (``F2K``/``G2`` are (n2, nk) slices) and the inverse
+    contracts straight from them. Masking in the (k1, k2) plane (``msel``,
+    folded only when some block is partial) reproduces the reference's
+    asymmetric band edge EXACTLY — no separate rank-2 imaginary correction
+    is needed, the complex transform carries it. All factors are tiny
+    ((n1+n2)-sized) host constants: unlike the (n, n) circulants there is
+    no literal-payload concern (reference utils_image.py:58-115).
+    """
+    split = _ct_split(n)
+    key = (n, split)
+    if key in _CT_CACHE:
+        return _CT_CACHE[key]
+    if split is None:
+        _CT_CACHE[key] = None
+        return None
+    n1, n2 = split
+    m = np.ones(n, dtype=np.float64)
+    m[: n // 4] = 0.0
+    m[-n // 4:] = 0.0      # NB (-n)//4, the reference's asymmetric slice
+    m = np.fft.ifftshift(m)
+    mhat = m.reshape(n2, n1).T                       # [k1, k2] = m[k1+n1*k2]
+    kept = np.nonzero(mhat.any(axis=0))[0]
+    tau = -2j * np.pi
+    f1 = np.exp(tau * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    tw = np.exp(tau * np.outer(np.arange(n1), np.arange(n2)) / n)
+    f2k = np.exp(tau * np.outer(np.arange(n2), kept) / n2)
+    g2 = np.exp(-tau * np.outer(kept, np.arange(n2)) / n2)
+    g1 = np.exp(-tau * np.outer(np.arange(n1), np.arange(n1)) / n1) / n
+    msel = mhat[:, kept]
+    ent = dict(n=n, n1=n1, n2=n2, nk=int(kept.size),
+               f1=f1.astype(np.complex64), tw=tw.astype(np.complex64),
+               f2k=f2k.astype(np.complex64), g2=g2.astype(np.complex64),
+               g1=g1.astype(np.complex64),
+               msel=(None if np.all(msel == 1.0)
+                     else msel.astype(np.float32)))
+    _CT_CACHE[key] = ent      # host NumPy only (tracer-leak gotcha above)
+    return ent
+
+
+def _ct_ein(sub, a, b):
+    import jax
+    return jnp.einsum(sub, a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _ct_fwd_rows(x, e, real_in):
+    """Masked forward transform along axis 0: (n, B) -> (n1*nk, B) complex."""
+    import jax
+    xr = x.reshape(e["n1"], e["n2"], -1)
+    if real_in:
+        a = jax.lax.complex(_ct_ein('kj,jmb->kmb', e["f1"].real, xr),
+                            _ct_ein('kj,jmb->kmb', e["f1"].imag, xr))
+    else:
+        a = _ct_ein('kj,jmb->kmb', e["f1"], xr)
+    a = a * e["tw"][:, :, None]
+    c = _ct_ein('kmb,mq->kqb', a, e["f2k"])
+    if e["msel"] is not None:
+        c = c * e["msel"][:, :, None]
+    return c.reshape(e["n1"] * e["nk"], x.shape[1])
+
+
+def _ct_inv_rows(y, e, real_out):
+    """Inverse from the kept axis-0 frequencies: (n1*nk, B) -> (n, B)."""
+    c = _ct_ein('kqb,qm->kmb', y.reshape(e["n1"], e["nk"], -1), e["g2"])
+    c = c * np.conj(e["tw"])[:, :, None]
+    if real_out:
+        out = (_ct_ein('jk,kmb->jmb', e["g1"].real, c.real)
+               - _ct_ein('jk,kmb->jmb', e["g1"].imag, c.imag))
+    else:
+        out = _ct_ein('jk,kmb->jmb', e["g1"], c)
+    return out.reshape(e["n"], y.shape[1])
+
+
+def _ct_fwd_cols(x, e):
+    """Masked forward transform along axis 1: (B, n) -> (B, n1*nk) complex."""
+    a = _ct_ein('kj,bjm->bkm', e["f1"], x.reshape(-1, e["n1"], e["n2"]))
+    a = a * e["tw"][None, :, :]
+    c = _ct_ein('bkm,mq->bkq', a, e["f2k"])
+    if e["msel"] is not None:
+        c = c * e["msel"][None, :, :]
+    return c.reshape(x.shape[0], e["n1"] * e["nk"])
+
+
+def _ct_inv_cols(y, e):
+    """Inverse from the kept axis-1 frequencies: (B, n1*nk) -> (B, n)."""
+    c = _ct_ein('bkq,qm->bkm', y.reshape(-1, e["n1"], e["nk"]), e["g2"])
+    c = c * np.conj(e["tw"])[None, :, :]
+    out = _ct_ein('jk,bkm->bjm', e["g1"], c)
+    return out.reshape(y.shape[0], e["n"])
+
+
+def fft_lowpass_grey_ct(img, consts=None):
+    """:func:`fft_lowpass_grey` as a two-stage Cooley-Tukey matmul FFT.
+
+    Same linear operator as the FFT and circulant-matmul paths (float
+    rounding only, ~1e-5 class like matmul-vs-FFT); ~9x fewer real MACs
+    than the direct circulant form at 12MP (each axis costs n(n1+n2)
+    instead of n^2, and both inner stages run only on the kept half of the
+    spectrum). Measured at 20x12MP on the chip: 4.74 ms/frame vs the
+    circulant matmul's 7.21 (tools/ab_grey_ct.log; both include the ~1.5
+    ms/frame share of the dispatch floor). Falls back to the circulant
+    matmul when an axis has no usable factor pair (prime sizes) — consts,
+    if supplied, are only for that fallback.
+    """
+    h, w = img.shape
+    eh, ew = _ct_entries(h), _ct_entries(w)
+    if eh is None or ew is None:
+        return fft_lowpass_grey_matmul(img, consts=consts)
+    x = img.astype(DEFAULT_FLOAT)
+    z = _ct_fwd_rows(x, eh, real_in=True)      # (hk, w)  complex
+    z = _ct_fwd_cols(z, ew)                    # (hk, wk) complex
+    z = _ct_inv_cols(z, ew)                    # (hk, w)  complex
+    out = _ct_inv_rows(z, eh, real_out=True)   # (h, w)   real
     return out.astype(DEFAULT_FLOAT)
 
 
@@ -333,6 +495,9 @@ def compute_grey_image(img, method, impl="auto", consts=None):
     the caller's jit boundary (matmul path only).
     """
     if method == "FFT":
+        if impl == "ct" or (impl == "auto" and _grey_matmul_default()
+                            and _ct_eligible(img.shape)):
+            return fft_lowpass_grey_ct(img, consts=consts)
         if impl == "matmul" or (impl == "auto" and _grey_matmul_default()):
             return fft_lowpass_grey_matmul(img, consts=consts)
         return fft_lowpass_grey(img)

@@ -194,6 +194,40 @@ class TestGreyMatmul:
         b = np.asarray(fft_lowpass_grey_matmul(jnp.asarray(img)))
         np.testing.assert_allclose(a, b, atol=2e-5)
 
+    @pytest.mark.parametrize("h,w", [(64, 96), (128, 128), (90, 132),
+                                     (62, 66), (300, 400)])
+    def test_ct_equals_fft(self, h, w):
+        """The two-stage Cooley-Tukey matmul FFT is the same linear operator
+        as the FFT path — including the asymmetric band edge (90/132/62/66
+        are not multiples of 4, and 90 = 9x10 puts the band boundary inside
+        a k2 block, exercising the partial-block msel path)."""
+        from hmsr_tpu.ops.grey import fft_lowpass_grey, fft_lowpass_grey_ct
+        rng = np.random.RandomState(h * 100 + w)
+        img = rng.rand(h, w).astype(np.float32)
+        a = np.asarray(fft_lowpass_grey(jnp.asarray(img)))
+        b = np.asarray(fft_lowpass_grey_ct(jnp.asarray(img)))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_ct_prime_size_falls_back(self):
+        """Prime axis sizes have no usable factor pair — the CT entry point
+        must fall back to the circulant matmul and stay correct."""
+        from hmsr_tpu.ops.grey import (fft_lowpass_grey, fft_lowpass_grey_ct,
+                                       _ct_split)
+        assert _ct_split(97) is None
+        img = np.random.RandomState(5).rand(97, 64).astype(np.float32)
+        a = np.asarray(fft_lowpass_grey(jnp.asarray(img)))
+        b = np.asarray(fft_lowpass_grey_ct(jnp.asarray(img)))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_ct_impl_dispatch(self):
+        """compute_grey_image(impl='ct') routes to the CT path."""
+        from hmsr_tpu.ops.grey import compute_grey_image, fft_lowpass_grey_ct
+        img = jnp.asarray(np.random.RandomState(6).rand(64, 64)
+                          .astype(np.float32))
+        a = np.asarray(compute_grey_image(img, "FFT", impl="ct"))
+        b = np.asarray(fft_lowpass_grey_ct(img))
+        np.testing.assert_array_equal(a, b)
+
     @pytest.mark.parametrize("n", [1, 2, 5, 64, 97])
     def test_circulant_device_bitexact(self, n):
         """The on-device Toeplitz expansion must reproduce the embedded
