@@ -36,9 +36,13 @@ import os as _os
 # overrides for A/B.
 _REALIGN = _os.environ.get("HMSR_REALIGN_WARP", "slice")
 
-# program width/height multipliers (see pallas_ica._XG_MULT/_YG_MULT)
+# program width/height multipliers (see pallas_ica._XG_MULT/_YG_MULT).
+# An explicit HMSR_WARP_YG is authoritative (clamped to 128//Ts so the
+# (YG*Ts, XG*Ts) output block stays within one reasonable VMEM window);
+# the default keeps the measured round-3 choice min(4, 64//Ts).
 _XG_MULT = max(1, int(_os.environ.get("HMSR_WARP_XG", "1")))
-_YG_MULT = max(1, int(_os.environ.get("HMSR_WARP_YG", "4")))
+_YG_ENV = _os.environ.get("HMSR_WARP_YG")
+_YG_MULT = max(1, int(_YG_ENV)) if _YG_ENV else 4
 
 
 def _dma_rows(win):
@@ -170,7 +174,10 @@ def _warp_impl(stats, upscale, tile_size, flow, out_shape, interpret):
         (flow.shape, nty, ntx)
     XG = _XG_MULT * max(1, 128 // int(np.gcd(Ts, 128)))
     NTXP = -(-ntx // XG) * XG
-    YG = max(1, min(_YG_MULT, 64 // Ts, 4)) if _PARAMVEC else 1
+    if _YG_ENV is None:
+        YG = max(1, min(_YG_MULT, 64 // Ts, 4)) if _PARAMVEC else 1
+    else:
+        YG = max(1, min(_YG_MULT, 128 // Ts)) if _PARAMVEC else 1
     ntyP = -(-nty // YG) * YG
     nyB = ntyP // YG
     SEGP = -(-SEG // 8) * 8 if YG > 1 else SEG
